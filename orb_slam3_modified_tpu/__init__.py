@@ -1,0 +1,15 @@
+"""orb_slam3_modified_tpu — TPU-native visual-inertial SLAM engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of
+lturing/ORB_SLAM3_modified (ORB-SLAM3 + fork extras). See SURVEY.md for the
+reference feature inventory this framework covers.
+"""
+import jax
+
+# SLAM geometry (3x3/6x6 solves, pose chains, Jacobians) needs true float32
+# matmuls; TPU's default bf16-pass matmul precision loses ~1e-2 per product,
+# which is fatal for pose accuracy. Hot kernels that tolerate low precision
+# (e.g. descriptor distance) opt back down locally.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+__version__ = "0.1.0"
