@@ -14,8 +14,9 @@ broadcast against the (possibly unbatched) parameter vector.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 PINHOLE = 0
@@ -24,13 +25,24 @@ FISHEYE_KB8 = 1
 _Z_EPS = 1e-6
 
 
-class Camera(NamedTuple):
-    """Static camera description. `kind` is a Python int (static under jit)."""
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Camera description: `params` is a leaf (traced under jit); `kind`,
+    `width`, `height` are static aux data so model dispatch and image-bound
+    checks stay Python-level."""
 
     kind: int
     params: jnp.ndarray  # (8,) padded; pinhole uses first 4
     width: int = 0
     height: int = 0
+
+    def tree_flatten(self):
+        return (self.params,), (self.kind, self.width, self.height)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], children[0], aux[1], aux[2])
 
     @staticmethod
     def pinhole(fx, fy, cx, cy, width=0, height=0):
