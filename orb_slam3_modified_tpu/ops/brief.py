@@ -30,11 +30,12 @@ GATHER_R = 18  # patch radius gathered (covers rotation of +-13 * sqrt2)
 
 @functools.lru_cache(maxsize=1)
 def _pattern():
+    # returns numpy — cached device arrays would leak tracers across traces
     rng = np.random.default_rng(0xB51EF)
     # Gaussian BRIEF pairs, sigma = patch/5 (Calonder 2010), clipped
     pts = rng.normal(0.0, PATTERN_R / 2.0, size=(N_BITS, 2, 2))
     pts = np.clip(pts, -PATTERN_R, PATTERN_R)
-    return jnp.asarray(pts, dtype=jnp.float32)  # (256, 2 endpoints, xy)
+    return pts.astype(np.float32)  # (256, 2 endpoints, xy)
 
 
 def _bilinear(patches, ys, xs):
@@ -70,7 +71,7 @@ def brief_descriptors(img_blurred, ys, xs, angles):
     img_blurred: (H, W) float32 (Gaussian-smoothed level image).
     ys, xs: (N,) integer keypoint coords in this level. angles: (N,) radians.
     """
-    pat = _pattern()  # (256, 2, 2) in (x, y) order
+    pat = jnp.asarray(_pattern())  # (256, 2, 2) in (x, y) order
     ca, sa = jnp.cos(angles), jnp.sin(angles)  # (N,)
     # rotate pattern per keypoint: (N, 256, 2, 2)
     px = pat[None, ..., 0]

@@ -37,16 +37,17 @@ def build_pyramid(img, n_levels: int = 8, scale: float = 1.2):
 
 @functools.lru_cache(maxsize=8)
 def _gauss_kernel1d(ksize: int, sigma: float):
+    # returns numpy — cached device arrays would leak tracers across traces
     r = ksize // 2
     x = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-(x * x) / (2 * sigma * sigma))
     k /= k.sum()
-    return jnp.asarray(k, dtype=jnp.float32)
+    return k.astype(np.float32)
 
 
 def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
     """Separable Gaussian blur with reflect padding, (H, W) float32."""
-    k = _gauss_kernel1d(ksize, sigma)
+    k = jnp.asarray(_gauss_kernel1d(ksize, sigma))
     r = ksize // 2
 
     def conv1d(a, axis):

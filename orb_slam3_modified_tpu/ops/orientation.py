@@ -20,12 +20,14 @@ PATCH = 2 * PATCH_R + 1
 
 @functools.lru_cache(maxsize=1)
 def _centroid_weights():
+    # NOTE: returns numpy (not jnp) — cached device arrays would leak tracers
+    # across jit traces.
     ys, xs = np.mgrid[-PATCH_R : PATCH_R + 1, -PATCH_R : PATCH_R + 1]
     # circular mask matching the reference's per-row u_max HALF_PATCH_SIZE circle
     mask = (xs * xs + ys * ys) <= PATCH_R * PATCH_R
     wx = (xs * mask).astype(np.float32)
     wy = (ys * mask).astype(np.float32)
-    return jnp.asarray(wx), jnp.asarray(wy)
+    return wx, wy
 
 
 def gather_patches(img, ys, xs, half: int):
@@ -43,7 +45,8 @@ def gather_patches(img, ys, xs, half: int):
 
 def ic_angles(img, ys, xs):
     """Orientation (radians) for keypoints at integer coords. img: (H, W)."""
-    wx, wy = _centroid_weights()
+    wx_np, wy_np = _centroid_weights()
+    wx, wy = jnp.asarray(wx_np), jnp.asarray(wy_np)
     patches = gather_patches(img, ys, xs, PATCH_R)  # (N, 31, 31)
     m10 = jnp.sum(patches * wx, axis=(-2, -1))
     m01 = jnp.sum(patches * wy, axis=(-2, -1))
