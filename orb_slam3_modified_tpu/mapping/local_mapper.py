@@ -1,0 +1,357 @@
+"""Local mapping: map growth, fusion, local BA, culling.
+
+TPU-native replacement for the LocalMapping thread (reference:
+src/LocalMapping.cc — Run :64, ProcessNewKeyFrame :298, MapPointCulling :346,
+CreateNewMapPoints :388, SearchInNeighbors :714, KeyFrameCulling :902).
+
+Runs synchronously on the host when the tracker inserts a keyframe (the
+reference's thread+queue becomes a direct call; an async driver can overlap
+it with tracking later since all heavy steps are device dispatches).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import Camera, project, unproject
+from ..features.matcher import TH_LOW, mutual_best_match, resolve_duplicate_targets
+from ..geom import projection_matrix, triangulate_dlt
+from ..lie.se3 import SE3
+from ..optim.ba import bundle_adjust
+from ..slam_map.map_state import NO_POINT, MapState
+from ..tracking.tracker import TrackerConfig, _build_ba_problem, _pad1, _write_back_ba
+
+
+@dataclasses.dataclass
+class LocalMapperConfig:
+    n_triangulation_neighbors: int = 10  # reference: nn=10 mono (20 used when inertial)
+    min_parallax_cos: float = 0.9998
+    reproj_chi2: float = 5.991
+    ba_window: int = 12  # covisible kfs in local BA
+    cull_found_ratio: float = 0.25  # reference GetFoundRatio()<0.25f
+    cull_min_obs: int = 3
+    kf_cull_redundancy: float = 0.9  # reference: 90% rule
+
+
+class LocalMapper:
+    def __init__(self, cfg: LocalMapperConfig, tracker_cfg: TrackerConfig, slam_map: MapState):
+        self.cfg = cfg
+        self.tcfg = tracker_cfg
+        self.map = slam_map
+        self.recent_points: list = []  # (mp_idx array, birth_kf) for culling
+
+    def on_keyframe(self, k: int):
+        m = self.map
+        if m.n_keyframes() < 2:
+            return
+        slots, mps = m.observations_of_kf(k)
+        m.update_point_stats(mps, self.tcfg.scale_factors())
+        self._cull_recent_points(k)
+        new_pts = self._create_new_points(k)
+        if len(new_pts):
+            self.recent_points.append((new_pts, k))
+        self._fuse_neighbors(k)
+        if m.n_keyframes() > 2:
+            self._local_ba(k)
+        self._cull_keyframes(k)
+
+    # ------------------------------------------------------- triangulation
+    def _create_new_points(self, k: int):
+        """Epipolar-search triangulation against covisible keyframes
+        (reference: CreateNewMapPoints src/LocalMapping.cc:388)."""
+        m = self.map
+        cfg = self.cfg
+        cam = self.tcfg.cam
+        neighbors = m.best_covisible(k, cfg.n_triangulation_neighbors, min_weight=10)
+        if len(neighbors) == 0:
+            return np.empty(0, np.int64)
+        F = m.kf_uv.shape[1]
+        free_k = m.kf_feat_valid[k] & (m.kf_obs[k] == NO_POINT)
+        T_k = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
+        center_k = np.asarray(T_k.inverse().t)
+        created = []
+        inv_s2 = self.tcfg.inv_level_sigma2()
+        for kn in neighbors:
+            kn = int(kn)
+            T_n = SE3(jnp.asarray(m.kf_R[kn]), jnp.asarray(m.kf_t[kn]))
+            center_n = np.asarray(T_n.inverse().t)
+            baseline = np.linalg.norm(center_k - center_n)
+            # reference gate: baseline vs median scene depth (mono)
+            if baseline < 0.01:
+                continue
+            free_n = m.kf_feat_valid[kn] & (m.kf_obs[kn] == NO_POINT)
+            # epipolar constraint mask from relative pose
+            ep_mask = _epipolar_mask(
+                cam, m.kf_uv[k], m.kf_uv[kn], m.kf_level[kn],
+                T_k, T_n, inv_s2,
+            )
+            idx, ok, dist = mutual_best_match(
+                jnp.asarray(m.kf_desc[k]),
+                jnp.asarray(free_k),
+                jnp.asarray(m.kf_desc[kn]),
+                jnp.asarray(free_n),
+                max_dist=TH_LOW,
+                ratio=0.8,
+                extra_mask=ep_mask,
+            )
+            keep = resolve_duplicate_targets(idx, ok, dist, F)
+            keep_np = np.asarray(keep)
+            idx_np = np.asarray(idx)
+            if keep_np.sum() == 0:
+                continue
+            sel = np.flatnonzero(keep_np)
+            # triangulate matched pairs (unit-plane DLT)
+            uv1 = m.kf_uv[k][sel]
+            uv2 = m.kf_uv[kn][idx_np[sel]]
+            r1 = np.asarray(unproject(cam, jnp.asarray(uv1)))
+            r2 = np.asarray(unproject(cam, jnp.asarray(uv2)))
+            x1 = r1[:, :2] / r1[:, 2:3]
+            x2 = r2[:, :2] / r2[:, 2:3]
+            P1 = np.asarray(projection_matrix(T_k))
+            P2 = np.asarray(projection_matrix(T_n))
+            pts = np.asarray(
+                triangulate_dlt(
+                    jnp.asarray(np.broadcast_to(P1, (len(sel), 3, 4))),
+                    jnp.asarray(np.broadcast_to(P2, (len(sel), 3, 4))),
+                    jnp.asarray(x1),
+                    jnp.asarray(x2),
+                )
+            )
+            # acceptance gates (reference: cheirality, parallax, reproj, scale)
+            pc1 = np.asarray(T_k.apply(jnp.asarray(pts)))
+            pc2 = np.asarray(T_n.apply(jnp.asarray(pts)))
+            v1 = pts - center_k
+            v2 = pts - center_n
+            cosp = np.sum(v1 * v2, -1) / (
+                np.linalg.norm(v1, axis=-1) * np.linalg.norm(v2, axis=-1) + 1e-12
+            )
+            uv1_pred = np.asarray(project(cam, jnp.asarray(pc1)))
+            uv2_pred = np.asarray(project(cam, jnp.asarray(pc2)))
+            e1 = np.sum((uv1_pred - uv1) ** 2, -1) * inv_s2[m.kf_level[k][sel]]
+            e2 = np.sum((uv2_pred - uv2) ** 2, -1) * inv_s2[m.kf_level[kn][idx_np[sel]]]
+            good = (
+                (pc1[:, 2] > 0)
+                & (pc2[:, 2] > 0)
+                & (cosp < self.cfg.min_parallax_cos)
+                & (e1 < self.cfg.reproj_chi2)
+                & (e2 < self.cfg.reproj_chi2)
+                & np.isfinite(pts).all(axis=-1)
+            )
+            if good.sum() == 0:
+                continue
+            gsel = sel[good]
+            try:
+                mp_idx = m.alloc_points(int(good.sum()))
+            except RuntimeError:
+                break
+            m.mp_pos[mp_idx] = pts[good]
+            m.mp_first_kf[mp_idx] = k
+            m.kf_obs[k, gsel] = mp_idx
+            m.kf_obs[kn, idx_np[gsel]] = mp_idx
+            free_k[gsel] = False
+            created.append(mp_idx)
+        if not created:
+            return np.empty(0, np.int64)
+        out = np.concatenate(created)
+        m.update_point_stats(out, self.tcfg.scale_factors())
+        return out
+
+    # -------------------------------------------------------------- fusion
+    def _fuse_neighbors(self, k: int):
+        """Project k's points into neighbors and fuse duplicates
+        (reference: SearchInNeighbors src/LocalMapping.cc:714, Fuse
+        src/ORBmatcher.cc:1148). Simplified to first-order neighbors."""
+        m = self.map
+        cam = self.tcfg.cam
+        neighbors = m.best_covisible(k, self.cfg.n_triangulation_neighbors, min_weight=10)
+        slots_k, mps_k = m.observations_of_kf(k)
+        if len(mps_k) == 0:
+            return
+        for kn in neighbors:
+            kn = int(kn)
+            T_n = SE3(jnp.asarray(m.kf_R[kn]), jnp.asarray(m.kf_t[kn]))
+            pc = np.asarray(T_n.apply(jnp.asarray(m.mp_pos[mps_k])))
+            uv = np.asarray(project(cam, jnp.asarray(pc)))
+            visible = (
+                (pc[:, 2] > 0.05)
+                & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+                & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+            )
+            if visible.sum() == 0:
+                continue
+            F = m.kf_uv.shape[1]
+            cap = F
+            n_c = min(int(visible.sum()), cap)
+            c_sel = np.flatnonzero(visible)[:n_c]
+            uv_p = _pad1(uv[c_sel], cap)
+            desc_p = _pad1(m.mp_desc[mps_k[c_sel]], cap)
+            val_p = np.zeros(cap, bool)
+            val_p[:n_c] = True
+            d2 = (uv_p[:, None, :] - m.kf_uv[kn][None]) ** 2
+            window = (d2.sum(-1) < 9.0)  # 3px fuse radius
+            idx, ok, dist = mutual_best_match(
+                jnp.asarray(desc_p), jnp.asarray(val_p),
+                jnp.asarray(m.kf_desc[kn]), jnp.asarray(m.kf_feat_valid[kn]),
+                max_dist=TH_LOW, extra_mask=jnp.asarray(window),
+            )
+            ok_np = np.array(ok)
+            idx_np = np.asarray(idx)
+            ok_np[n_c:] = False
+            for i in np.flatnonzero(ok_np):
+                mp_src = int(mps_k[c_sel[i]])
+                tgt_slot = int(idx_np[i])
+                mp_tgt = int(m.kf_obs[kn, tgt_slot])
+                if not m.mp_valid[mp_src]:
+                    continue
+                if mp_tgt == NO_POINT:
+                    m.kf_obs[kn, tgt_slot] = mp_src
+                elif mp_tgt != mp_src and m.mp_valid[mp_tgt]:
+                    # keep the one with more observations
+                    counts = m.obs_count_per_point()
+                    if counts[mp_tgt] >= counts[mp_src]:
+                        m.replace_point(mp_src, mp_tgt)
+                    else:
+                        m.replace_point(mp_tgt, mp_src)
+
+    # ------------------------------------------------------------ local BA
+    def _local_ba(self, k: int):
+        """Reference: Optimizer::LocalBundleAdjustment (src/Optimizer.cc:1116):
+        covisible window optimized, frontier fixed, their points free."""
+        m = self.map
+        window = [k] + [int(x) for x in m.best_covisible(k, self.cfg.ba_window, min_weight=10)]
+        window = list(dict.fromkeys(window))
+        obs = m.kf_obs[window]
+        mp_sel = np.unique(obs[obs != NO_POINT])
+        mp_sel = mp_sel[m.mp_valid[mp_sel]]
+        if len(mp_sel) < 20:
+            return
+        # frontier: kfs observing these points but not in window
+        observers = np.flatnonzero(m.point_observers(mp_sel))
+        frontier = [int(x) for x in observers if int(x) not in window]
+        kf_sel = np.array(window + frontier)
+        fixed = np.zeros(len(kf_sel), bool)
+        fixed[len(window):] = True
+        if len(frontier) == 0:
+            fixed[0] = True  # gauge anchor
+        # always fix the oldest keyframe in the problem (reference fixes kf 0
+        # implicitly via frontier; a 2-kf map needs an explicit anchor)
+        oldest = int(np.argmin(m.kf_frame_id[kf_sel]))
+        fixed[oldest] = True
+        prob = _build_ba_problem(m, self.tcfg, kf_sel, mp_sel, fixed)
+        prob = _pad_problem(prob)
+        res = bundle_adjust(prob, self.tcfg.cam, 2, 5)
+        _write_back_ba(m, prob, res, kf_sel, mp_sel)
+        # drop outlier observations
+        obs_inl = np.asarray(res.obs_inlier)
+        obs_cam = np.asarray(prob.obs_cam)
+        obs_pt = np.asarray(prob.obs_pt)
+        obs_valid = np.asarray(prob.obs_valid)
+        bad = (~obs_inl) & obs_valid
+        for o in np.flatnonzero(bad):
+            kk = int(kf_sel[obs_cam[o]])
+            mp = int(mp_sel[obs_pt[o]])
+            slot = np.flatnonzero(m.kf_obs[kk] == mp)
+            if len(slot):
+                m.kf_obs[kk, slot[0]] = NO_POINT
+
+    # ------------------------------------------------------------- culling
+    def _cull_recent_points(self, k: int):
+        """Reference: MapPointCulling (src/LocalMapping.cc:346)."""
+        m = self.map
+        keep = []
+        counts = m.obs_count_per_point()
+        for mp_idx, birth in self.recent_points:
+            age = k - birth  # keyframe-count age proxy
+            alive = m.mp_valid[mp_idx]
+            ratio = m.mp_found[mp_idx] / np.maximum(m.mp_visible[mp_idx], 1)
+            bad = alive & (ratio < self.cfg.cull_found_ratio)
+            if age >= 2:
+                bad |= alive & (counts[mp_idx] < self.cfg.cull_min_obs)
+            if bad.any():
+                m.remove_point(mp_idx[bad])
+            if age < 3:
+                keep.append((mp_idx[~bad & alive], birth))
+        self.recent_points = keep
+
+    def _cull_keyframes(self, k: int):
+        """Reference: KeyFrameCulling (src/LocalMapping.cc:902): a covisible
+        kf whose tracked points are >=90% seen by >=3 other kfs (at finer or
+        equal scale — scale check simplified away) is removed."""
+        m = self.map
+        counts = m.obs_count_per_point()
+        for kc in m.best_covisible(k, 10, min_weight=10):
+            kc = int(kc)
+            if kc == k:
+                continue
+            slots, mps = m.observations_of_kf(kc)
+            if len(mps) < 20:
+                continue
+            redundant = (counts[mps] >= self.cfg.cull_min_obs + 1).mean()
+            if redundant > self.cfg.kf_cull_redundancy:
+                m.remove_keyframe(kc)
+
+
+def _epipolar_mask(cam, uv1, uv2, level2, T_1w: SE3, T_2w: SE3, inv_s2):
+    """(F1, F2) bool: uv2 within chi2 3.84 of the epiline of uv1.
+
+    Reference: ORBmatcher::SearchForTriangulation epipolar gate
+    (src/ORBmatcher.cc:907 region) using F12 from the relative pose.
+    """
+    # relative pose cam2 <- cam1
+    T_21 = T_2w @ T_1w.inverse()
+    E = np.asarray(jnp.einsum("ij,jk->ik", _hat(np.asarray(T_21.t)), np.asarray(T_21.R)))
+    r1 = np.asarray(unproject(cam, jnp.asarray(uv1)))  # (F1, 3) unit-plane
+    r2 = np.asarray(unproject(cam, jnp.asarray(uv2)))
+    l2 = r1 @ E.T  # epiline in image-2 unit plane: l = E x1
+    d = np.einsum("nj,mj->nm", l2, r2)  # (F1, F2) algebraic distance
+    den = l2[:, 0] ** 2 + l2[:, 1] ** 2
+    err = d * d / np.maximum(den[:, None], 1e-12)
+    # pixel-domain threshold: scale by focal^2 and level sigma
+    f2 = float(np.asarray(cam.params[0])) ** 2
+    th = 3.84 / f2 / np.maximum(inv_s2[level2][None, :], 1e-9)
+    return jnp.asarray(err < th)
+
+
+def _hat(v):
+    return np.array(
+        [[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]], dtype=np.float32
+    )
+
+
+def _pad_problem(prob):
+    """Bucket-pad BA problem so bundle_adjust compiles per bucket, not per
+    exact size."""
+    import math
+
+    from ..optim.ba import BAProblem
+
+    def bucket(n, q):
+        return max(q, int(math.ceil(n / q) * q))
+
+    K = prob.T_cw.t.shape[0]
+    P = prob.points.shape[0]
+    O = prob.obs_cam.shape[0]
+    Kb, Pb, Ob = bucket(K, 4), bucket(P, 1024), bucket(O, 2048)
+    if (Kb, Pb, Ob) == (K, P, O):
+        return prob
+    pad_k = Kb - K
+    pad_p = Pb - P
+    pad_o = Ob - O
+    eyeR = np.tile(np.eye(3, dtype=np.float32), (pad_k, 1, 1))
+    return BAProblem(
+        T_cw=SE3(
+            jnp.concatenate([prob.T_cw.R, jnp.asarray(eyeR)], 0),
+            jnp.concatenate([prob.T_cw.t, jnp.zeros((pad_k, 3))], 0),
+        ),
+        cam_fixed=jnp.concatenate([prob.cam_fixed, jnp.ones(pad_k, bool)]),
+        points=jnp.concatenate([prob.points, jnp.zeros((pad_p, 3))], 0),
+        pt_valid=jnp.concatenate([prob.pt_valid, jnp.zeros(pad_p, bool)]),
+        obs_cam=jnp.concatenate([prob.obs_cam, jnp.zeros(pad_o, jnp.int32)]),
+        obs_pt=jnp.concatenate([prob.obs_pt, jnp.zeros(pad_o, jnp.int32)]),
+        obs_uv=jnp.concatenate([prob.obs_uv, jnp.zeros((pad_o, 2))], 0),
+        obs_inv_s2=jnp.concatenate([prob.obs_inv_s2, jnp.ones(pad_o)]),
+        obs_valid=jnp.concatenate([prob.obs_valid, jnp.zeros(pad_o, bool)]),
+    )

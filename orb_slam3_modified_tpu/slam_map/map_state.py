@@ -1,0 +1,227 @@
+"""SoA map data model: keyframes, map points, observations.
+
+TPU-native replacement for the reference's pointer-graph map (reference:
+include/KeyFrame.h, include/MapPoint.h, include/Map.h): instead of
+heap-allocated KeyFrame*/MapPoint* objects with per-object mutexes, the map
+is a set of fixed-capacity numpy arrays with validity masks, mutated only by
+the host orchestrator (single-writer, so the reference's mMutexMapUpdate
+class of races is gone by construction, SURVEY.md §5.2). Device solvers
+consume array views; results are written back wholesale.
+
+Capacities are static; allocation is free-list style via the validity masks.
+Covisibility (reference: KeyFrame::UpdateConnections,
+include/KeyFrame.h:224-250) is derived on demand from the observation table
+rather than stored as adjacency lists.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+NO_POINT = -1
+
+
+@dataclasses.dataclass
+class MapState:
+    """One map of the Atlas. All arrays are host numpy; F = features/KF cap."""
+
+    # keyframes
+    kf_valid: np.ndarray  # (K,) bool
+    kf_R: np.ndarray  # (K, 3, 3) T_cw rotation
+    kf_t: np.ndarray  # (K, 3) T_cw translation
+    kf_ts: np.ndarray  # (K,) float64 timestamps
+    kf_frame_id: np.ndarray  # (K,) int64 source frame id
+    # per-keyframe features (copied from the Frame at creation)
+    kf_uv: np.ndarray  # (K, F, 2) float32
+    kf_desc: np.ndarray  # (K, F, 8) uint32
+    kf_level: np.ndarray  # (K, F) int32
+    kf_angle: np.ndarray  # (K, F) float32
+    kf_feat_valid: np.ndarray  # (K, F) bool
+    # observation table: which map point each feature slot observes
+    kf_obs: np.ndarray  # (K, F) int32 -> mp index or NO_POINT
+    # map points
+    mp_valid: np.ndarray  # (M,) bool
+    mp_pos: np.ndarray  # (M, 3) float32
+    mp_desc: np.ndarray  # (M, 8) uint32 representative descriptor
+    mp_normal: np.ndarray  # (M, 3) float32 mean viewing direction
+    mp_min_dist: np.ndarray  # (M,) scale-invariance range
+    mp_max_dist: np.ndarray  # (M,)
+    mp_first_kf: np.ndarray  # (M,) int32 creating keyframe
+    mp_found: np.ndarray  # (M,) int32 times matched by tracker
+    mp_visible: np.ndarray  # (M,) int32 times predicted visible
+    # bookkeeping
+    next_kf: int = 0
+    n_inertial_ba: int = 0  # 0 = none, 1 = VIBA1 done, 2 = VIBA2 done
+    imu_initialized: bool = False
+
+    @staticmethod
+    def create(max_kf: int = 512, max_mp: int = 32768, feat_cap: int = 1024):
+        K, M, F = max_kf, max_mp, feat_cap
+        return MapState(
+            kf_valid=np.zeros(K, bool),
+            kf_R=np.tile(np.eye(3, dtype=np.float32), (K, 1, 1)),
+            kf_t=np.zeros((K, 3), np.float32),
+            kf_ts=np.zeros(K, np.float64),
+            kf_frame_id=np.full(K, -1, np.int64),
+            kf_uv=np.zeros((K, F, 2), np.float32),
+            kf_desc=np.zeros((K, F, 8), np.uint32),
+            kf_level=np.zeros((K, F), np.int32),
+            kf_angle=np.zeros((K, F), np.float32),
+            kf_feat_valid=np.zeros((K, F), bool),
+            kf_obs=np.full((K, F), NO_POINT, np.int32),
+            mp_valid=np.zeros(M, bool),
+            mp_pos=np.zeros((M, 3), np.float32),
+            mp_desc=np.zeros((M, 8), np.uint32),
+            mp_normal=np.zeros((M, 3), np.float32),
+            mp_min_dist=np.zeros(M, np.float32),
+            mp_max_dist=np.full(M, np.inf, np.float32),
+            mp_first_kf=np.full(M, -1, np.int32),
+            mp_found=np.ones(M, np.int32),
+            mp_visible=np.ones(M, np.int32),
+        )
+
+    # ---- allocation ----
+    def alloc_keyframe(self) -> int:
+        free = np.flatnonzero(~self.kf_valid)
+        if len(free) == 0:
+            raise RuntimeError("keyframe capacity exhausted")
+        k = int(free[0])
+        self.kf_valid[k] = True
+        return k
+
+    def alloc_points(self, n: int) -> np.ndarray:
+        free = np.flatnonzero(~self.mp_valid)
+        if len(free) < n:
+            raise RuntimeError("map point capacity exhausted")
+        idx = free[:n]
+        self.mp_valid[idx] = True
+        return idx
+
+    # ---- queries ----
+    def keyframe_indices(self):
+        return np.flatnonzero(self.kf_valid)
+
+    def point_indices(self):
+        return np.flatnonzero(self.mp_valid)
+
+    def n_keyframes(self):
+        return int(self.kf_valid.sum())
+
+    def n_points(self):
+        return int(self.mp_valid.sum())
+
+    def observations_of_kf(self, k: int):
+        """Feature slots of kf k that observe a point: (slots, mp_idx)."""
+        obs = self.kf_obs[k]
+        slots = np.flatnonzero(obs != NO_POINT)
+        return slots, obs[slots]
+
+    def covisibility_weights(self, k: int):
+        """Shared-observation counts between kf k and every other kf.
+
+        Reference: KeyFrame::UpdateConnections counts shared MapPoints.
+        Returns (K,) int32 (0 for self/invalid).
+        """
+        mp = self.kf_obs[k]
+        observed = np.zeros(self.mp_valid.shape[0] + 1, bool)
+        observed[mp[mp != NO_POINT]] = True
+        # for each kf, count its observations that hit `observed`
+        hits = observed[np.where(self.kf_obs == NO_POINT, self.mp_valid.shape[0], self.kf_obs)]
+        w = (hits & (self.kf_obs != NO_POINT)).sum(axis=1).astype(np.int32)
+        w[k] = 0
+        w[~self.kf_valid] = 0
+        return w
+
+    def best_covisible(self, k: int, n: int, min_weight: int = 15):
+        """Top-n covisible keyframes (reference GetBestCovisibilityKeyFrames)."""
+        w = self.covisibility_weights(k)
+        order = np.argsort(-w)
+        sel = order[: n]
+        return sel[w[sel] >= min_weight]
+
+    def point_observers(self, mp_idx: np.ndarray):
+        """For a set of points, boolean (K,) of keyframes observing any."""
+        mask = np.zeros(self.mp_valid.shape[0] + 1, bool)
+        mask[mp_idx] = True
+        safe = np.where(self.kf_obs == NO_POINT, self.mp_valid.shape[0], self.kf_obs)
+        return (mask[safe] & (self.kf_obs != NO_POINT)).any(axis=1) & self.kf_valid
+
+    def obs_count_per_point(self):
+        """(M,) number of keyframes observing each point."""
+        counts = np.zeros(self.mp_valid.shape[0], np.int64)
+        flat = self.kf_obs[self.kf_valid].ravel()
+        flat = flat[flat != NO_POINT]
+        np.add.at(counts, flat, 1)
+        return counts
+
+    # ---- mutation helpers ----
+    def add_observation(self, k: int, slot: int, mp: int):
+        self.kf_obs[k, slot] = mp
+
+    def remove_point(self, mp_idx):
+        """Cull points: clear validity + all observations referencing them."""
+        mp_idx = np.atleast_1d(mp_idx)
+        self.mp_valid[mp_idx] = False
+        kill = np.isin(self.kf_obs, mp_idx)
+        self.kf_obs[kill] = NO_POINT
+
+    def remove_keyframe(self, k: int):
+        self.kf_valid[k] = False
+        self.kf_obs[k] = NO_POINT
+        self.kf_feat_valid[k] = False
+
+    def replace_point(self, old: int, new: int):
+        """Fuse: redirect observations of `old` to `new` (reference
+        MapPoint::Replace), dropping duplicates where a kf already sees new."""
+        sees_new = (self.kf_obs == new).any(axis=1)
+        is_old = self.kf_obs == old
+        # kfs that already observe new: drop the old observation
+        self.kf_obs[is_old & sees_new[:, None]] = NO_POINT
+        self.kf_obs[is_old & ~sees_new[:, None]] = new
+        self.mp_found[new] += self.mp_found[old]
+        self.mp_visible[new] += self.mp_visible[old]
+        self.mp_valid[old] = False
+
+    def update_point_stats(self, mp_idx: np.ndarray, scale_factors: np.ndarray):
+        """Recompute normal, distinctive descriptor, scale range for points.
+
+        Reference: MapPoint::UpdateNormalAndDepth (include/MapPoint.h:148) and
+        ComputeDistinctiveDescriptors (:144 — min-median-Hamming).
+        """
+        for m in np.atleast_1d(mp_idx):
+            ks, slots = self._observers_slots(m)
+            if len(ks) == 0:
+                continue
+            centers = -np.einsum("kji,kj->ki", self.kf_R[ks], self.kf_t[ks])
+            vec = self.mp_pos[m][None] - centers
+            norms = np.linalg.norm(vec, axis=-1)
+            good = norms > 1e-9
+            if good.any():
+                n = (vec[good] / norms[good, None]).mean(axis=0)
+                nn = np.linalg.norm(n)
+                if nn > 1e-9:
+                    self.mp_normal[m] = n / nn
+            # distinctive descriptor: min median hamming to the others
+            descs = self.kf_desc[ks, slots]
+            if len(descs) == 1:
+                self.mp_desc[m] = descs[0]
+            else:
+                x = descs[:, None, :] ^ descs[None, :, :]
+                d = np.unpackbits(x.view(np.uint8), axis=-1).sum(axis=-1)
+                med = np.median(d, axis=1)
+                self.mp_desc[m] = descs[int(np.argmin(med))]
+            # scale-invariance distances from the reference kf's octave
+            k_ref, slot_ref = ks[-1], slots[-1]
+            center_ref = -self.kf_R[k_ref].T @ self.kf_t[k_ref]
+            dist = np.linalg.norm(self.mp_pos[m] - center_ref)
+            level = int(self.kf_level[k_ref, slot_ref])
+            sf = scale_factors[level]
+            n_levels = len(scale_factors)
+            self.mp_max_dist[m] = dist * sf
+            self.mp_min_dist[m] = self.mp_max_dist[m] / scale_factors[n_levels - 1]
+
+    def _observers_slots(self, m: int):
+        ks, slots = np.where(self.kf_obs == m)
+        keep = self.kf_valid[ks]
+        return ks[keep], slots[keep]

@@ -1,0 +1,543 @@
+"""Per-frame tracking front end.
+
+TPU-native replacement for the reference Tracking thread (reference:
+src/Tracking.cc — Track() :1797, TrackWithMotionModel :2857,
+TrackReferenceKeyFrame :2723, TrackLocalMap :2952, MonocularInitialization
+:2451, NeedNewKeyFrame :3067, CreateNewKeyFrame :3219).
+
+Architecture: the tracker is a host-side state machine; all heavy work
+(matching, pose optimization) happens in a small number of jitted device
+dispatches over fixed-capacity arrays. The map is the single-writer SoA
+MapState. Pose state lives in numpy between frames (tiny), device arrays
+inside the solvers.
+
+States mirror eTrackingState (include/Tracking.h:121-129):
+NOT_INITIALIZED -> OK -> RECENTLY_LOST -> LOST, with multi-map recovery
+handled one level up (system/Atlas).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import Camera, project, unproject
+from ..features.extractor import ExtractorConfig, Features
+from ..features.matcher import (
+    TH_HIGH,
+    TH_LOW,
+    mutual_best_match,
+    resolve_duplicate_targets,
+    search_by_projection,
+    search_for_initialization,
+)
+from ..geom import reconstruct_two_views
+from ..lie import se3, so3
+from ..lie.se3 import SE3
+from ..optim.ba import BAProblem, bundle_adjust
+from ..optim.pose_opt import pose_optimization
+from ..slam_map.map_state import NO_POINT, MapState
+
+NOT_INITIALIZED = 0
+OK = 1
+RECENTLY_LOST = 2
+LOST = 3
+
+_STATE_NAMES = {0: "NOT_INITIALIZED", 1: "OK", 2: "RECENTLY_LOST", 3: "LOST"}
+
+POSE_OPT_CAP = 2048  # static association capacity for pose optimization
+
+
+def _pad1(a, n, fill=0):
+    a = np.asarray(a)
+    if len(a) >= n:
+        return a[:n]
+    return np.concatenate([a, np.full((n - len(a), *a.shape[1:]), fill, a.dtype)])
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    cam: Camera = None
+    n_levels: int = 8
+    scale: float = 1.2
+    local_points_cap: int = 2048  # candidate budget for TrackLocalMap
+    min_matches_init: int = 100  # reference: mvIniMatches >= 100
+    min_inliers_track: int = 10  # reference: nmatchesMap >= 10
+    min_inliers_local: int = 30  # reference: mnMatchesInliers < 30 -> lost
+    max_frames_between_kf: int = 10  # reference mMaxFrames ~ fps; tightened
+    min_frames_between_kf: int = 0
+    kf_tracked_ratio: float = 0.9  # reference thRefRatio for mono
+    recently_lost_budget: int = 60  # frames before LOST (~3 s, src/Tracking.cc:1990)
+
+    def scale_factors(self):
+        return self.scale ** np.arange(self.n_levels)
+
+    def inv_level_sigma2(self):
+        return (1.0 / self.scale ** (2.0 * np.arange(self.n_levels))).astype(
+            np.float32
+        )
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    """What the tracker remembers about the last processed frame."""
+
+    features: Features
+    T_cw: SE3  # numpy-backed SE3
+    obs_mp: np.ndarray  # (F,) int32 map point per feature or NO_POINT
+    ts: float
+    frame_id: int
+
+
+class Tracker:
+    def __init__(self, cfg: TrackerConfig, slam_map: MapState):
+        self.cfg = cfg
+        self.map = slam_map
+        self.state = NOT_INITIALIZED
+        self.velocity: Optional[SE3] = None  # T_cur_last
+        self.last: Optional[FrameRecord] = None
+        self.init_frame: Optional[FrameRecord] = None
+        self.ref_kf: int = -1
+        self.frame_id = 0
+        self.frames_since_kf = 0
+        self.lost_frames = 0
+        self.trajectory = []  # (ts, frame_id, T_cw 4x4) log
+        self.n_last_inliers = 0
+        self.on_keyframe = None  # callback(kf_idx) -> local mapping hook
+
+    # ------------------------------------------------------------------ API
+    def track(self, feats: Features, ts: float) -> Optional[np.ndarray]:
+        """Process one frame. Returns T_cw (4x4 numpy) or None while lost."""
+        fid = self.frame_id
+        self.frame_id += 1
+        if self.state == NOT_INITIALIZED:
+            T = self._initialize(feats, ts, fid)
+        elif self.state in (OK, RECENTLY_LOST):
+            T = self._track_frame(feats, ts, fid)
+        else:  # LOST — handled by Atlas (new map); keep trying reloc-free
+            T = None
+        if T is not None:
+            self.trajectory.append((ts, fid, np.asarray(T.matrix())))
+            return np.asarray(T.matrix())
+        return None
+
+    # ----------------------------------------------------- initialization
+    def _initialize(self, feats: Features, ts: float, fid: int):
+        n_valid = int(np.asarray(feats.valid).sum())
+        if self.init_frame is None:
+            if n_valid >= self.cfg.min_matches_init:
+                self.init_frame = FrameRecord(
+                    feats, SE3.identity(), np.full(feats.capacity, NO_POINT, np.int32), ts, fid
+                )
+            return None
+        f0 = self.init_frame.features
+        idx, ok, _ = search_for_initialization(
+            f0.uv, f0.angle, f0.desc, f0.valid,
+            feats.uv, feats.angle, feats.desc, feats.valid,
+        )
+        n_matches = int(np.asarray(ok).sum())
+        if n_matches < self.cfg.min_matches_init:
+            # reference: reset initializer if too few matches
+            self.init_frame = FrameRecord(
+                feats, SE3.identity(), np.full(feats.capacity, NO_POINT, np.int32), ts, fid
+            ) if n_valid >= self.cfg.min_matches_init else None
+            return None
+        # unit-plane coords of the matched pairs
+        cam = self.cfg.cam
+        r0 = unproject(cam, f0.uv)
+        r1 = unproject(cam, feats.uv[idx])
+        x0 = r0[..., :2] / r0[..., 2:3]
+        x1 = r1[..., :2] / r1[..., 2:3]
+        focal = float(np.asarray(cam.params[0]))
+        res = reconstruct_two_views(
+            x0, x1, ok, focal, jax.random.PRNGKey(fid)
+        )
+        if not bool(res.success):
+            return None
+        self._create_initial_map(f0, feats, idx, res, ts, fid)
+        return self.last.T_cw
+
+    def _create_initial_map(self, f0: Features, f1: Features, idx, res, ts, fid):
+        """Reference: CreateInitialMapMonocular (src/Tracking.cc:2529):
+        two keyframes, triangulated points, 20-iteration global BA, scale
+        normalization by median depth."""
+        cfg = self.cfg
+        m = self.map
+        good = np.asarray(res.valid)
+        pts = np.asarray(res.points)
+        idx_np = np.asarray(idx)
+        # scale so median depth (in cam0 = world) is 1 (reference: invMedianDepth)
+        depths = pts[good][:, 2]
+        med = float(np.median(depths))
+        if med <= 0:
+            return
+        pts = pts / med
+        T21 = SE3(res.T_21.R, res.T_21.t / med)
+
+        k0 = m.alloc_keyframe()
+        k1 = m.alloc_keyframe()
+        for k, f, T, t_s, f_id in (
+            (k0, f0, SE3.identity(), self.init_frame.ts, self.init_frame.frame_id),
+            (k1, f1, T21, ts, fid),
+        ):
+            m.kf_R[k] = np.asarray(T.R)
+            m.kf_t[k] = np.asarray(T.t)
+            m.kf_ts[k] = t_s
+            m.kf_frame_id[k] = f_id
+            m.kf_uv[k] = np.asarray(f.uv)
+            m.kf_desc[k] = np.asarray(f.desc)
+            m.kf_level[k] = np.asarray(f.level)
+            m.kf_angle[k] = np.asarray(f.angle)
+            m.kf_feat_valid[k] = np.asarray(f.valid)
+
+        slots0 = np.flatnonzero(good)
+        mp_idx = m.alloc_points(len(slots0))
+        m.mp_pos[mp_idx] = pts[slots0]
+        m.mp_first_kf[mp_idx] = k0
+        for mp, s0 in zip(mp_idx, slots0):
+            m.kf_obs[k0, s0] = mp
+            m.kf_obs[k1, idx_np[s0]] = mp
+        m.update_point_stats(mp_idx, cfg.scale_factors())
+
+        # full BA on the 2-view map (reference: GlobalBundleAdjustemnt(20))
+        self._initial_ba(k0, k1)
+
+        obs1 = np.full(f1.capacity, NO_POINT, np.int32)
+        obs1[idx_np[slots0]] = m.kf_obs[k0, slots0]
+        T_opt = SE3(jnp.asarray(m.kf_R[k1]), jnp.asarray(m.kf_t[k1]))
+        self.last = FrameRecord(f1, T_opt, obs1, ts, fid)
+        self.ref_kf = k1
+        self.state = OK
+        self.frames_since_kf = 0
+        self.velocity = None
+        if self.on_keyframe is not None:
+            self.on_keyframe(k0)
+            self.on_keyframe(k1)
+
+    def _initial_ba(self, k0, k1):
+        m = self.map
+        cfg = self.cfg
+        kf_sel = np.array([k0, k1])
+        mp_sel = m.point_indices()
+        prob = _build_ba_problem(m, cfg, kf_sel, mp_sel, fixed=np.array([True, False]))
+        res = bundle_adjust(prob, cfg.cam, 2, 10)
+        _write_back_ba(m, prob, res, kf_sel, mp_sel)
+
+    # ------------------------------------------------------- frame tracking
+    def _track_frame(self, feats: Features, ts: float, fid: int):
+        cfg = self.cfg
+        m = self.map
+        inv_s2_levels = cfg.inv_level_sigma2()
+
+        T_pred = (
+            self.velocity @ self.last.T_cw if self.velocity is not None else self.last.T_cw
+        )
+        obs_mp = np.full(feats.capacity, NO_POINT, np.int32)
+
+        ok_track = False
+        # --- TrackWithMotionModel: match last frame's points by projection
+        last_mp = self.last.obs_mp
+        has_pt = last_mp != NO_POINT
+        if has_pt.sum() >= 10:
+            cap = feats.capacity  # static pad: last frame has <= cap points
+            cand_mp = _pad1(last_mp[has_pt], cap, 0)
+            n_cand = min(int(has_pt.sum()), cap)
+            cand_valid = np.zeros(cap, bool)
+            cand_valid[:n_cand] = m.mp_valid[cand_mp[:n_cand]]
+            pos = m.mp_pos[cand_mp]
+            pc = np.asarray(T_pred.apply(jnp.asarray(pos)))
+            uv_pred = np.asarray(project(cfg.cam, jnp.asarray(pc)))
+            lvl_pred = self._predict_levels(pos, T_pred)
+            in_front = pc[:, 2] > 0
+            radius = jnp.asarray(15.0 * cfg.scale_factors(), jnp.float32)
+            idx, okm, dist = search_by_projection(
+                jnp.asarray(uv_pred),
+                jnp.asarray(lvl_pred),
+                jnp.asarray(m.mp_desc[cand_mp]),
+                jnp.asarray(in_front & cand_valid),
+                feats.uv, feats.level, feats.desc, feats.valid,
+                radius, level_tol=1, max_dist=TH_HIGH, ratio=0.9,
+            )
+            keep = resolve_duplicate_targets(idx, okm, dist, feats.capacity)
+            idx_np, keep_np = np.asarray(idx), np.array(keep)
+            keep_np[n_cand:] = False
+            if keep_np.sum() >= 20:
+                # pose optimization on these associations
+                sel = np.flatnonzero(keep_np)
+                T_opt, inl = self._pose_opt(
+                    T_pred, m.mp_pos[cand_mp[sel]],
+                    np.asarray(feats.uv)[idx_np[sel]],
+                    inv_s2_levels[np.asarray(feats.level)[idx_np[sel]]],
+                )
+                if int(inl.sum()) >= cfg.min_inliers_track:
+                    ok_track = True
+                    obs_mp[idx_np[sel[inl]]] = cand_mp[sel[inl]]
+                    T_cur = T_opt
+        if not ok_track:
+            # --- TrackReferenceKeyFrame: BoW-free brute match to ref KF points
+            T_cur, obs_mp, ok_track = self._track_reference_kf(feats, T_pred)
+            if not ok_track:
+                self.lost_frames += 1
+                if self.state == OK:
+                    self.state = RECENTLY_LOST
+                elif self.lost_frames > self.cfg.recently_lost_budget:
+                    self.state = LOST
+                return None
+
+        # --- TrackLocalMap
+        T_cur, obs_mp, n_inl = self._track_local_map(feats, T_cur, obs_mp)
+        self.n_last_inliers = n_inl
+        if n_inl < cfg.min_inliers_local:
+            self.state = RECENTLY_LOST
+            self.lost_frames += 1
+            if self.lost_frames > cfg.recently_lost_budget:
+                self.state = LOST
+            # keep motion model alive
+            rec = FrameRecord(feats, T_cur, obs_mp, ts, fid)
+            self._update_motion_model(rec)
+            self.last = rec
+            return T_cur
+        self.state = OK
+        self.lost_frames = 0
+
+        rec = FrameRecord(feats, T_cur, obs_mp, ts, fid)
+        self._update_motion_model(rec)
+        self.last = rec
+        self.frames_since_kf += 1
+
+        if self._need_new_keyframe(n_inl):
+            self._create_keyframe(rec)
+        return T_cur
+
+    def _predict_levels(self, pos_w, T_cw):
+        """Predict observation octave from distance (reference
+        MapPoint::PredictScale, include/MapPoint.h:152)."""
+        m = self.map
+        cfg = self.cfg
+        center = np.asarray(T_cw.inverse().t)
+        dist = np.linalg.norm(pos_w - center[None], axis=-1)
+        # level = ceil(log(max_dist/dist)/log(scale))
+        # use stored per-point max_dist where finite, else level 0
+        return np.zeros(len(pos_w), np.int32)
+
+    def _pose_opt(self, T0, pts_w, uv, inv_s2):
+        """Static-shape pose optimization: associations padded to
+        POSE_OPT_CAP so the solver compiles once per session."""
+        n = min(len(pts_w), POSE_OPT_CAP)
+        valid = np.zeros(POSE_OPT_CAP, bool)
+        valid[:n] = True
+        res = pose_optimization(
+            T0,
+            self.cfg.cam,
+            jnp.asarray(_pad1(pts_w, POSE_OPT_CAP)),
+            jnp.asarray(_pad1(uv, POSE_OPT_CAP)),
+            jnp.asarray(_pad1(inv_s2, POSE_OPT_CAP, 1.0)),
+            valid=jnp.asarray(valid),
+        )
+        return res.T_cw, np.asarray(res.inliers)[: len(pts_w)]
+
+    def _track_reference_kf(self, feats: Features, T_pred):
+        """Reference: TrackReferenceKeyFrame (src/Tracking.cc:2723) — match
+        against the reference keyframe's observed points, ratio 0.7."""
+        m = self.map
+        k = self.ref_kf
+        obs_mp = np.full(feats.capacity, NO_POINT, np.int32)
+        if k < 0 or not m.kf_valid[k]:
+            return T_pred, obs_mp, False
+        slots, mps = m.observations_of_kf(k)
+        if len(slots) < 15:
+            return T_pred, obs_mp, False
+        cap = feats.capacity  # static pad: a kf has <= cap observations
+        n_obs = min(len(slots), cap)
+        kf_desc = _pad1(m.kf_desc[k, slots], cap, 0)
+        kf_valid = np.zeros(cap, bool)
+        kf_valid[:n_obs] = m.mp_valid[mps[:n_obs]]
+        slots, mps = _pad1(slots, cap, 0), _pad1(mps, cap, 0)
+        idx, okm, dist = mutual_best_match(
+            jnp.asarray(kf_desc),
+            jnp.asarray(kf_valid),
+            feats.desc,
+            feats.valid,
+            max_dist=TH_LOW,
+            ratio=0.7,
+        )
+        keep = resolve_duplicate_targets(idx, okm, dist, feats.capacity)
+        idx_np, keep_np = np.asarray(idx), np.array(keep)
+        keep_np[n_obs:] = False
+        if keep_np.sum() < 15:
+            return T_pred, obs_mp, False
+        sel = np.flatnonzero(keep_np)
+        inv_s2_levels = self.cfg.inv_level_sigma2()
+        T_opt, inl = self._pose_opt(
+            T_pred,
+            m.mp_pos[mps[sel]],
+            np.asarray(feats.uv)[idx_np[sel]],
+            inv_s2_levels[np.asarray(feats.level)[idx_np[sel]]],
+        )
+        if int(inl.sum()) < self.cfg.min_inliers_track:
+            return T_pred, obs_mp, False
+        obs_mp[idx_np[sel[inl]]] = mps[sel[inl]]
+        return T_opt, obs_mp, True
+
+    def _track_local_map(self, feats: Features, T_cur, obs_mp):
+        """Reference: TrackLocalMap (src/Tracking.cc:2952): collect local
+        points from covisible keyframes, project + match, re-optimize."""
+        cfg = self.cfg
+        m = self.map
+        # local keyframes: observers of currently matched points + covisibles
+        cur_pts = obs_mp[obs_mp != NO_POINT]
+        if len(cur_pts) == 0:
+            return T_cur, obs_mp, 0
+        kf_mask = m.point_observers(cur_pts)
+        local_kfs = np.flatnonzero(kf_mask)
+        # + their best covisibles (K2 neighbors, reference UpdateLocalKeyFrames)
+        extra = []
+        for k in local_kfs[:20]:
+            extra.append(m.best_covisible(k, 5))
+        if extra:
+            local_kfs = np.unique(np.concatenate([local_kfs, *extra]))
+        # choose ref kf = most shared observations
+        if len(local_kfs):
+            shared = [
+                np.isin(m.kf_obs[k], cur_pts).sum() for k in local_kfs
+            ]
+            self.ref_kf = int(local_kfs[int(np.argmax(shared))])
+        # local points = all points observed by local kfs
+        obs = m.kf_obs[local_kfs]
+        mp_set = np.unique(obs[obs != NO_POINT])
+        mp_set = mp_set[m.mp_valid[mp_set]]
+        # exclude already matched
+        mp_new = mp_set[~np.isin(mp_set, cur_pts)]
+        if len(mp_new) > cfg.local_points_cap:
+            mp_new = mp_new[: cfg.local_points_cap]
+        add_idx = np.empty(0, np.int64)
+        add_feat = np.empty(0, np.int64)
+        if len(mp_new) > 0:
+            pos = m.mp_pos[mp_new]
+            pc = np.asarray(T_cur.apply(jnp.asarray(pos)))
+            uv_pred = np.asarray(project(cfg.cam, jnp.asarray(pc)))
+            in_img = (
+                (pc[:, 2] > 0.05)
+                & (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < cfg.cam.width)
+                & (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] < cfg.cam.height)
+            )
+            # pad to capacity for static shapes
+            cap = cfg.local_points_cap
+            npts = len(mp_new)
+            pad = cap - npts
+            uv_p = np.pad(uv_pred, ((0, pad), (0, 0)))
+            desc_p = np.pad(m.mp_desc[mp_new], ((0, pad), (0, 0)))
+            valid_p = np.pad(in_img & m.mp_valid[mp_new], (0, pad))
+            lvl_p = np.zeros(cap, np.int32)
+            # unmatched frame features only
+            f_free = np.asarray(feats.valid) & (obs_mp == NO_POINT)
+            radius = jnp.asarray(4.0 * cfg.scale_factors(), jnp.float32)
+            idx, okm, dist = search_by_projection(
+                jnp.asarray(uv_p), jnp.asarray(lvl_p),
+                jnp.asarray(desc_p), jnp.asarray(valid_p),
+                feats.uv, feats.level, feats.desc, jnp.asarray(f_free),
+                radius, level_tol=8, max_dist=TH_HIGH, ratio=0.8,
+            )
+            keep = resolve_duplicate_targets(idx, okm, dist, feats.capacity)
+            keep_np = np.asarray(keep)[:npts]
+            idx_np = np.asarray(idx)[:npts]
+            add_idx = mp_new[np.flatnonzero(keep_np)]
+            add_feat = idx_np[np.flatnonzero(keep_np)]
+            m.mp_visible[mp_new[in_img]] += 1
+
+        # combined association set -> final pose optimization
+        all_mp = np.concatenate([cur_pts, add_idx])
+        feat_of_cur = np.flatnonzero(obs_mp != NO_POINT)
+        all_feat = np.concatenate([feat_of_cur, add_feat]).astype(np.int64)
+        inv_s2_levels = cfg.inv_level_sigma2()
+        uv_all = np.asarray(feats.uv)[all_feat]
+        T_opt, inl = self._pose_opt(
+            T_cur,
+            m.mp_pos[all_mp],
+            uv_all,
+            inv_s2_levels[np.asarray(feats.level)[all_feat]],
+        )
+        obs_out = np.full(feats.capacity, NO_POINT, np.int32)
+        obs_out[all_feat[inl]] = all_mp[inl]
+        m.mp_found[all_mp[inl]] += 1
+        return T_opt, obs_out, int(inl.sum())
+
+    def _update_motion_model(self, rec: FrameRecord):
+        if self.last is not None:
+            self.velocity = rec.T_cw @ self.last.T_cw.inverse()
+        else:
+            self.velocity = None
+
+    def _need_new_keyframe(self, n_inl):
+        """Reference: NeedNewKeyFrame (src/Tracking.cc:3067), simplified to
+        the mono non-inertial conditions: enough frames passed or tracking
+        ratio below thRefRatio, and a minimum match count."""
+        m = self.map
+        if self.ref_kf < 0:
+            return False
+        n_ref = len(m.observations_of_kf(self.ref_kf)[0])
+        c1 = self.frames_since_kf >= self.cfg.max_frames_between_kf
+        c2 = n_inl < self.cfg.kf_tracked_ratio * max(n_ref, 1)
+        return (c1 or c2) and n_inl >= 15
+
+    def _create_keyframe(self, rec: FrameRecord):
+        """Reference: CreateNewKeyFrame (src/Tracking.cc:3219)."""
+        m = self.map
+        k = m.alloc_keyframe()
+        f = rec.features
+        m.kf_R[k] = np.asarray(rec.T_cw.R)
+        m.kf_t[k] = np.asarray(rec.T_cw.t)
+        m.kf_ts[k] = rec.ts
+        m.kf_frame_id[k] = rec.frame_id
+        m.kf_uv[k] = np.asarray(f.uv)
+        m.kf_desc[k] = np.asarray(f.desc)
+        m.kf_level[k] = np.asarray(f.level)
+        m.kf_angle[k] = np.asarray(f.angle)
+        m.kf_feat_valid[k] = np.asarray(f.valid)
+        m.kf_obs[k] = rec.obs_mp
+        self.ref_kf = k
+        self.frames_since_kf = 0
+        if self.on_keyframe is not None:
+            self.on_keyframe(k)
+
+
+def _build_ba_problem(m: MapState, cfg: TrackerConfig, kf_sel, mp_sel, fixed):
+    """Assemble a BAProblem from map arrays for the selected kfs/points."""
+    inv_s2_levels = cfg.inv_level_sigma2()
+    kf_pos = {int(k): i for i, k in enumerate(kf_sel)}
+    mp_pos = np.full(m.mp_valid.shape[0], -1, np.int64)
+    mp_pos[mp_sel] = np.arange(len(mp_sel))
+    obs_cam, obs_pt, obs_uv, obs_is2 = [], [], [], []
+    for k in kf_sel:
+        slots, mps = m.observations_of_kf(int(k))
+        sel = mp_pos[mps] >= 0
+        slots, mps = slots[sel], mps[sel]
+        obs_cam.append(np.full(len(slots), kf_pos[int(k)], np.int32))
+        obs_pt.append(mp_pos[mps].astype(np.int32))
+        obs_uv.append(m.kf_uv[int(k), slots])
+        obs_is2.append(inv_s2_levels[m.kf_level[int(k), slots]])
+    obs_cam = np.concatenate(obs_cam)
+    obs_pt = np.concatenate(obs_pt)
+    obs_uv = np.concatenate(obs_uv)
+    obs_is2 = np.concatenate(obs_is2)
+    return BAProblem(
+        T_cw=SE3(jnp.asarray(m.kf_R[kf_sel]), jnp.asarray(m.kf_t[kf_sel])),
+        cam_fixed=jnp.asarray(fixed),
+        points=jnp.asarray(m.mp_pos[mp_sel]),
+        pt_valid=jnp.asarray(m.mp_valid[mp_sel]),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_inv_s2=jnp.asarray(obs_is2),
+        obs_valid=jnp.ones(len(obs_cam), bool),
+    )
+
+
+def _write_back_ba(m: MapState, prob, res, kf_sel, mp_sel):
+    # slice off any bucket padding (see mapping/_pad_problem)
+    m.kf_R[kf_sel] = np.asarray(res.T_cw.R)[: len(kf_sel)]
+    m.kf_t[kf_sel] = np.asarray(res.T_cw.t)[: len(kf_sel)]
+    m.mp_pos[mp_sel] = np.asarray(res.points)[: len(mp_sel)]
