@@ -1,0 +1,328 @@
+"""Loop detection and correction.
+
+TPU-native replacement for the LoopClosing thread (reference:
+src/LoopClosing.cc — NewDetectCommonRegions :324, DetectCommonRegionsFromBoW
+:578, CorrectLoop :969, RunGlobalBundleAdjustment :2268).
+
+Flow per keyframe (host orchestration, device kernels for the heavy parts):
+1. BoW query for top-3 candidates outside the covisible neighborhood.
+2. Geometric verification: descriptor matching between the two keyframes'
+   observed map points -> batched Horn Sim3 RANSAC -> inlier gate.
+3. Temporal consistency: the hypothesis must survive
+   `consistency_needed` consecutive keyframes (reference:
+   mnLoopNumCoincidences >= 3).
+4. Correction: essential-graph (temporal + covisibility + loop edges)
+   Sim3 pose-graph optimization, map-point transform by their reference
+   keyframe's correction, then an optional global BA.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bow.kfdb import KeyFrameDatabase
+from ..bow.vocabulary import Vocabulary
+from ..features.matcher import TH_LOW, mutual_best_match, resolve_duplicate_targets
+from ..lie.se3 import SE3
+from ..lie.sim3 import Sim3
+from ..optim.ba import bundle_adjust
+from ..optim.pose_graph import PoseGraphProblem, optimize_pose_graph
+from ..slam_map.map_state import NO_POINT, MapState
+from ..tracking.tracker import TrackerConfig, _build_ba_problem, _pad1, _write_back_ba
+from .sim3_solver import solve_sim3_ransac
+
+
+@dataclasses.dataclass
+class LoopCloserConfig:
+    n_candidates: int = 3  # reference: DetectNBestCandidates(,,3)
+    min_matches: int = 20  # point pairs required before Sim3
+    min_sim3_inliers: int = 20
+    consistency_needed: int = 3  # consecutive-KF confirmations
+    covis_weight_strong: int = 30  # essential-graph covisibility edges
+    run_gba: bool = True
+    gba_max_kfs: int = 200  # reference: GBA only for maps < 200 KFs
+    fix_scale: bool = False  # stereo/inertial: scale fixed
+
+
+class LoopCloser:
+    def __init__(
+        self,
+        cfg: LoopCloserConfig,
+        tcfg: TrackerConfig,
+        voc: Vocabulary,
+        slam_map: MapState,
+    ):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.voc = voc
+        self.map = slam_map
+        self.kfdb = KeyFrameDatabase(voc, slam_map.kf_valid.shape[0])
+        self.kf_words: dict[int, np.ndarray] = {}
+        # pending hypothesis: (candidate_kf, consecutive_count)
+        self.hypothesis: tuple | None = None
+        self.n_loops_closed = 0
+        self.n_merges = 0
+        self.last_loop_kf = -1
+
+    # ------------------------------------------------------------------ API
+    def on_keyframe(self, k: int) -> bool:
+        """Process a new keyframe; returns True if a loop was corrected."""
+        m = self.map
+        words = self._words_of(k)
+        closed = False
+        # gate: map must have enough keyframes (reference: >= 12)
+        if m.n_keyframes() >= 12 and k - self.last_loop_kf > 5:
+            cand = self._detect(k, words)
+            if cand is not None:
+                cand_kf, S_ck, pairs = cand
+                if self.hypothesis and self._near(self.hypothesis[0], cand_kf):
+                    count = self.hypothesis[1] + 1
+                else:
+                    count = 1
+                self.hypothesis = (cand_kf, count)
+                if count >= self.cfg.consistency_needed:
+                    if m.kf_map[cand_kf] != m.kf_map[k]:
+                        self._merge_maps(k, cand_kf, S_ck)
+                        self.n_merges += 1
+                    else:
+                        self._correct_loop(k, cand_kf, S_ck)
+                        self.n_loops_closed += 1
+                    self.hypothesis = None
+                    self.last_loop_kf = k
+                    closed = True
+            else:
+                self.hypothesis = None
+        self.kfdb.add(k, words)
+        return closed
+
+    def _words_of(self, k: int):
+        if k not in self.kf_words:
+            m = self.map
+            desc = m.kf_desc[k][m.kf_feat_valid[k]]
+            self.kf_words[k] = self.voc.transform_np(desc)
+        return self.kf_words[k]
+
+    def _near(self, a: int, b: int) -> bool:
+        """Same-place check for consecutive confirmations: covisible or close."""
+        if a == b:
+            return True
+        w = self.map.covisibility_weights(a)
+        return w[b] > 0
+
+    # ------------------------------------------------------------ detection
+    def _detect(self, k: int, words):
+        m = self.map
+        exclude = {int(k)}
+        w = m.covisibility_weights(k)
+        exclude |= {int(x) for x in np.flatnonzero(w > 0)}
+        covis_groups = {
+            int(c): [int(x) for x in m.best_covisible(int(c), 10, min_weight=5)]
+            for c in m.keyframe_indices()
+        }
+        cands = self.kfdb.query(
+            words, exclude, self.cfg.n_candidates, covis_groups
+        )
+        for c in cands:
+            ver = self._verify(k, int(c))
+            if ver is not None:
+                return (int(c), *ver)
+        return None
+
+    def _verify(self, k: int, c: int):
+        """Geometric verification: match observed points, Horn Sim3 RANSAC.
+
+        Reference: DetectCommonRegionsFromBoW (src/LoopClosing.cc:578) =
+        SearchByBoW + Sim3Solver + projection re-verification.
+        """
+        m = self.map
+        slots_k, mps_k = m.observations_of_kf(k)
+        slots_c, mps_c = m.observations_of_kf(c)
+        if len(mps_k) < self.cfg.min_matches or len(mps_c) < self.cfg.min_matches:
+            return None
+        F = m.kf_uv.shape[1]
+        dk = _pad1(m.kf_desc[k, slots_k], F)
+        dc = _pad1(m.kf_desc[c, slots_c], F)
+        vk = np.zeros(F, bool)
+        vk[: min(len(slots_k), F)] = True
+        vc = np.zeros(F, bool)
+        vc[: min(len(slots_c), F)] = True
+        idx, ok, dist = mutual_best_match(
+            jnp.asarray(dk), jnp.asarray(vk), jnp.asarray(dc), jnp.asarray(vc),
+            max_dist=TH_LOW, ratio=0.75,
+        )
+        ok_np = np.array(ok)
+        ok_np[len(slots_k):] = False
+        sel = np.flatnonzero(ok_np)
+        if len(sel) < self.cfg.min_matches:
+            return None
+        idx_np = np.asarray(idx)
+        mp_k = mps_k[sel]
+        mp_c = mps_c[np.clip(idx_np[sel], 0, len(slots_c) - 1)]
+        # 3D points in each keyframe's camera frame
+        T_k = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
+        T_c = SE3(jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c]))
+        pk = np.asarray(T_k.apply(jnp.asarray(m.mp_pos[mp_k])))
+        pc = np.asarray(T_c.apply(jnp.asarray(m.mp_pos[mp_c])))
+        cap = 512
+        n = min(len(pk), cap)
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        res = solve_sim3_ransac(
+            jnp.asarray(_pad1(pc, cap)),  # p1 = candidate frame
+            jnp.asarray(_pad1(pk, cap)),  # p2 = current frame
+            jnp.asarray(valid),
+            jax.random.PRNGKey(k),
+            fix_scale=self.cfg.fix_scale,
+            min_inliers=self.cfg.min_sim3_inliers,
+        )
+        if not bool(res.success):
+            return None
+        return res.S_12, int(res.n_inliers)  # S_ck: current-cam -> cand-cam
+
+    # ----------------------------------------------------------- correction
+    def _correct_loop(self, k: int, c: int, S_ck: Sim3):
+        """Essential-graph correction (reference: CorrectLoop :969 +
+        OptimizeEssentialGraph src/Optimizer.cc:1501)."""
+        m = self.map
+        kfs = m.keyframe_indices()
+        kf_pos = {int(kf): i for i, kf in enumerate(kfs)}
+        K = len(kfs)
+        # current absolute Sim3 (s=1) poses Scw
+        S = Sim3(
+            jnp.ones(K),
+            jnp.asarray(m.kf_R[kfs]),
+            jnp.asarray(m.kf_t[kfs]),
+        )
+        S_old = S
+        ei, ej, rel_s, rel_R, rel_t, wts = [], [], [], [], [], []
+
+        def add_edge(i, j, S_ji: Sim3, w=1.0):
+            ei.append(kf_pos[i])
+            ej.append(kf_pos[j])
+            rel_s.append(np.asarray(S_ji.s))
+            rel_R.append(np.asarray(S_ji.R))
+            rel_t.append(np.asarray(S_ji.t))
+            wts.append(w)
+
+        def rel_from_poses(i, j):
+            Si = Sim3(
+                jnp.asarray(1.0), jnp.asarray(m.kf_R[i]), jnp.asarray(m.kf_t[i])
+            )
+            Sj = Sim3(
+                jnp.asarray(1.0), jnp.asarray(m.kf_R[j]), jnp.asarray(m.kf_t[j])
+            )
+            return Sj @ Si.inverse()
+
+        # temporal odometry edges
+        order = kfs[np.argsort(m.kf_frame_id[kfs])]
+        for a, b in zip(order[:-1], order[1:]):
+            add_edge(int(a), int(b), rel_from_poses(int(a), int(b)))
+        # strong covisibility edges
+        for kf in kfs:
+            w = m.covisibility_weights(int(kf))
+            for other in np.flatnonzero(w >= self.cfg.covis_weight_strong):
+                if int(other) > int(kf):
+                    add_edge(int(kf), int(other), rel_from_poses(int(kf), int(other)))
+        # loop edge: S_ck maps current-camera coords into candidate-camera
+        # coords, so Scw(c) measured = S_ck * Scw(k)  =>  S_ji with i=k, j=c
+        add_edge(int(k), int(c), S_ck, w=3.0)
+
+        fixed = np.zeros(K, bool)
+        fixed[kf_pos[int(c)]] = True  # anchor the old side
+
+        prob = PoseGraphProblem(
+            S=S,
+            fixed=jnp.asarray(fixed),
+            edge_i=jnp.asarray(np.array(ei, np.int32)),
+            edge_j=jnp.asarray(np.array(ej, np.int32)),
+            S_ji_meas=Sim3(
+                jnp.asarray(np.array(rel_s, np.float32)),
+                jnp.asarray(np.stack(rel_R).astype(np.float32)),
+                jnp.asarray(np.stack(rel_t).astype(np.float32)),
+            ),
+            edge_weight=jnp.asarray(np.array(wts, np.float32)),
+            edge_valid=jnp.ones(len(ei), bool),
+        )
+        S_opt = optimize_pose_graph(prob, False, 25)
+
+        # write back poses (Sim3 -> SE3 with scale folded into translation)
+        se3_new = S_opt.to_se3()
+        m.kf_R[kfs] = np.asarray(se3_new.R)
+        m.kf_t[kfs] = np.asarray(se3_new.t)
+        # correct map points via their reference keyframe:
+        # p' = S_new^-1 (S_old (p))
+        mp_all = m.point_indices()
+        ref = m.mp_first_kf[mp_all]
+        ref_pos = np.array([kf_pos.get(int(r), 0) for r in ref])
+        S_old_sel = Sim3(S_old.s[ref_pos], S_old.R[ref_pos], S_old.t[ref_pos])
+        S_new_sel = Sim3(S_opt.s[ref_pos], S_opt.R[ref_pos], S_opt.t[ref_pos])
+        p = jnp.asarray(m.mp_pos[mp_all])
+        p_cam = S_old_sel.apply(p)
+        p_new = S_new_sel.inverse().apply(p_cam)
+        m.mp_pos[mp_all] = np.asarray(p_new)
+
+        # optional global BA (reference: only for maps < 200 KFs)
+        if self.cfg.run_gba and K < self.cfg.gba_max_kfs:
+            self._global_ba()
+
+    def _merge_maps(self, k: int, c: int, S_ck: Sim3):
+        """Weld the active map into the candidate's map.
+
+        Reference: LoopClosing::MergeLocal (src/LoopClosing.cc:1215).
+        Similarity from active-map world to candidate-map world:
+        S_dst_src = T_c^-1 * S_ck * T_k (cameras cancel the frame change).
+        """
+        m = self.map
+        T_k = Sim3(
+            jnp.asarray(1.0), jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k])
+        )
+        T_c = Sim3(
+            jnp.asarray(1.0), jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c])
+        )
+        S_dst_src = (T_c.inverse() @ S_ck) @ T_k
+        src = int(m.kf_map[k])
+        dst = int(m.kf_map[c])
+        m.merge_map_into(
+            src, dst,
+            float(S_dst_src.s),
+            np.asarray(S_dst_src.R),
+            np.asarray(S_dst_src.t),
+        )
+        # weld-region refinement: local BA around the junction
+        try:
+            from ..mapping.local_mapper import _pad_problem
+
+            window = [int(k), int(c)] + [
+                int(x) for x in m.best_covisible(int(c), 5, min_weight=5)
+            ]
+            window = list(dict.fromkeys(window))
+            obs = m.kf_obs[window]
+            mp_sel = np.unique(obs[obs != NO_POINT])
+            mp_sel = mp_sel[m.mp_valid[mp_sel]]
+            if len(mp_sel) >= 20:
+                kf_sel = np.array(window)
+                fixed = np.zeros(len(kf_sel), bool)
+                fixed[1] = True  # anchor the old-map side
+                prob = _build_ba_problem(m, self.tcfg, kf_sel, mp_sel, fixed)
+                prob = _pad_problem(prob)
+                res = bundle_adjust(prob, self.tcfg.cam, 2, 5)
+                _write_back_ba(m, prob, res, kf_sel, mp_sel)
+        except Exception:
+            pass
+
+    def _global_ba(self):
+        """Reference: RunGlobalBundleAdjustment -> GlobalBundleAdjustemnt(10)."""
+        m = self.map
+        kfs = m.keyframe_indices()
+        mps = m.point_indices()
+        fixed = np.zeros(len(kfs), bool)
+        fixed[int(np.argmin(m.kf_frame_id[kfs]))] = True
+        from ..mapping.local_mapper import _pad_problem
+
+        prob = _build_ba_problem(m, self.tcfg, kfs, mps, fixed)
+        prob = _pad_problem(prob)
+        res = bundle_adjust(prob, self.tcfg.cam, 2, 5)
+        _write_back_ba(m, prob, res, kfs, mps)

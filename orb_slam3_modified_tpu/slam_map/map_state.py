@@ -50,6 +50,14 @@ class MapState:
     mp_first_kf: np.ndarray  # (M,) int32 creating keyframe
     mp_found: np.ndarray  # (M,) int32 times matched by tracker
     mp_visible: np.ndarray  # (M,) int32 times predicted visible
+    # multi-map (Atlas) labels: which logical map each kf/point belongs to.
+    # A single SoA arena holds every map (reference: Atlas holds Map*s,
+    # include/Atlas.h:79); sharing the index space makes the keyframe
+    # database global and map merge a relabel + Sim3 transform.
+    kf_map: np.ndarray = None  # (K,) int32
+    mp_map: np.ndarray = None  # (M,) int32
+    active_map: int = 0
+    n_maps: int = 1
     # bookkeeping
     next_kf: int = 0
     n_inertial_ba: int = 0  # 0 = none, 1 = VIBA1 done, 2 = VIBA2 done
@@ -59,6 +67,8 @@ class MapState:
     def create(max_kf: int = 512, max_mp: int = 32768, feat_cap: int = 1024):
         K, M, F = max_kf, max_mp, feat_cap
         return MapState(
+            kf_map=np.zeros(K, np.int32),
+            mp_map=np.zeros(M, np.int32),
             kf_valid=np.zeros(K, bool),
             kf_R=np.tile(np.eye(3, dtype=np.float32), (K, 1, 1)),
             kf_t=np.zeros((K, 3), np.float32),
@@ -88,6 +98,7 @@ class MapState:
             raise RuntimeError("keyframe capacity exhausted")
         k = int(free[0])
         self.kf_valid[k] = True
+        self.kf_map[k] = self.active_map
         return k
 
     def alloc_points(self, n: int) -> np.ndarray:
@@ -96,20 +107,67 @@ class MapState:
             raise RuntimeError("map point capacity exhausted")
         idx = free[:n]
         self.mp_valid[idx] = True
+        self.mp_map[idx] = self.active_map
         return idx
 
+    # ---- multi-map (Atlas) ----
+    def _kf_active(self):
+        return self.kf_valid & (self.kf_map == self.active_map)
+
+    def _mp_active(self):
+        return self.mp_valid & (self.mp_map == self.active_map)
+
+    def create_new_map(self) -> int:
+        """Start a fresh map and make it active (reference:
+        Atlas::CreateNewMap via Tracking::CreateMapInAtlas,
+        src/Tracking.cc:2665)."""
+        self.n_maps += 1
+        self.active_map = self.n_maps - 1
+        return self.active_map
+
+    def map_ids(self):
+        ids = np.unique(self.kf_map[self.kf_valid])
+        return ids.tolist()
+
+    def merge_map_into(self, src_map: int, dst_map: int, s, R, t):
+        """Relabel src map into dst, transforming src poses/points by the
+        similarity (s, R, t): world_dst = s * R @ world_src + t.
+
+        Reference: LoopClosing::MergeLocal (src/LoopClosing.cc:1215) welds
+        the active map into the matched map.
+        """
+        kf_sel = self.kf_valid & (self.kf_map == src_map)
+        mp_sel = self.mp_valid & (self.mp_map == src_map)
+        # points: direct similarity transform
+        self.mp_pos[mp_sel] = (
+            s * self.mp_pos[mp_sel] @ R.T + t
+        ).astype(np.float32)
+        # keyframe poses: x_c = R_cw w + t_cw with w = R^T (w' - t) / s gives
+        # the Sim3 camera (1/s, R_cw R^T, t_cw - (1/s) R_cw R^T t); projection
+        # is scale-invariant, so the equivalent SE3 storage is
+        # (R_cw R^T, s*t_cw - R_cw R^T t) — the reference's [R t/s] trick
+        # (src/LoopClosing.cc:1062 region) applied at merge time.
+        Rn = np.einsum("kij,lj->kil", self.kf_R[kf_sel], R)  # R_cw @ R^T
+        self.kf_R[kf_sel] = Rn
+        self.kf_t[kf_sel] = (
+            s * self.kf_t[kf_sel] - np.einsum("kij,j->ki", Rn, t)
+        ).astype(np.float32)
+        self.kf_map[kf_sel] = dst_map
+        self.mp_map[mp_sel] = dst_map
+        self.active_map = dst_map
+
     # ---- queries ----
-    def keyframe_indices(self):
-        return np.flatnonzero(self.kf_valid)
+    def keyframe_indices(self, all_maps: bool = False):
+        return np.flatnonzero(self.kf_valid if all_maps else self._kf_active())
 
-    def point_indices(self):
-        return np.flatnonzero(self.mp_valid)
+    def point_indices(self, all_maps: bool = False):
+        return np.flatnonzero(self.mp_valid if all_maps else self._mp_active())
 
-    def n_keyframes(self):
-        return int(self.kf_valid.sum())
+    def n_keyframes(self, all_maps: bool = False):
+        return int((self.kf_valid if all_maps else self._kf_active()).sum())
 
-    def n_points(self):
-        return int(self.mp_valid.sum())
+    def n_points(self, all_maps: bool = False):
+        return int((self.mp_valid if all_maps else self._mp_active()).sum())
 
     def observations_of_kf(self, k: int):
         """Feature slots of kf k that observe a point: (slots, mp_idx)."""

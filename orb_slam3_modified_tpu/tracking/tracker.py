@@ -70,6 +70,7 @@ class TrackerConfig:
     max_frames_between_kf: int = 10  # reference mMaxFrames ~ fps; tightened
     min_frames_between_kf: int = 0
     kf_tracked_ratio: float = 0.9  # reference thRefRatio for mono
+    depth_point_max: float = 40.0  # stereo/RGB-D close-point depth gate (m)
     recently_lost_budget: int = 60  # frames before LOST (~3 s, src/Tracking.cc:1990)
 
     def scale_factors(self):
@@ -90,6 +91,7 @@ class FrameRecord:
     obs_mp: np.ndarray  # (F,) int32 map point per feature or NO_POINT
     ts: float
     frame_id: int
+    depth: np.ndarray = None  # (F,) metric depth per feature, <=0 invalid
 
 
 class Tracker:
@@ -107,14 +109,28 @@ class Tracker:
         self.trajectory = []  # (ts, frame_id, T_cw 4x4) log
         self.n_last_inliers = 0
         self.on_keyframe = None  # callback(kf_idx) -> local mapping hook
+        # optional hook(feats, frame_id) -> (SE3, obs_mp) | None; wired by the
+        # system facade to loop/relocalization (reference: Relocalization
+        # src/Tracking.cc:3612 called from RECENTLY_LOST handling)
+        self.relocalize_fn = None
 
     # ------------------------------------------------------------------ API
-    def track(self, feats: Features, ts: float) -> Optional[np.ndarray]:
-        """Process one frame. Returns T_cw (4x4 numpy) or None while lost."""
+    def track(self, feats: Features, ts: float, depth=None) -> Optional[np.ndarray]:
+        """Process one frame. Returns T_cw (4x4 numpy) or None while lost.
+
+        depth: optional (F,) metric depth per feature (stereo / RGB-D paths;
+        <=0 marks invalid). With depth, initialization is direct (reference:
+        StereoInitialization src/Tracking.cc:2338) and new keyframes spawn
+        close points from depth.
+        """
         fid = self.frame_id
         self.frame_id += 1
+        self._cur_depth = None if depth is None else np.asarray(depth)
         if self.state == NOT_INITIALIZED:
-            T = self._initialize(feats, ts, fid)
+            if self._cur_depth is not None:
+                T = self._initialize_with_depth(feats, ts, fid)
+            else:
+                T = self._initialize(feats, ts, fid)
         elif self.state in (OK, RECENTLY_LOST):
             T = self._track_frame(feats, ts, fid)
         else:  # LOST — handled by Atlas (new map); keep trying reloc-free
@@ -158,6 +174,46 @@ class Tracker:
         if not bool(res.success):
             return None
         self._create_initial_map(f0, feats, idx, res, ts, fid)
+        return self.last.T_cw
+
+    def _initialize_with_depth(self, feats: Features, ts: float, fid: int):
+        """Stereo/RGB-D initialization: one keyframe, points from depth.
+
+        Reference: Tracking::StereoInitialization (src/Tracking.cc:2338)."""
+        m = self.map
+        cfg = self.cfg
+        d = self._cur_depth
+        valid = np.asarray(feats.valid) & (d > 0)
+        if valid.sum() < 100:
+            return None
+        k = m.alloc_keyframe()
+        m.kf_R[k] = np.eye(3, dtype=np.float32)
+        m.kf_t[k] = np.zeros(3, np.float32)
+        m.kf_ts[k] = ts
+        m.kf_frame_id[k] = fid
+        m.kf_uv[k] = np.asarray(feats.uv)
+        m.kf_desc[k] = np.asarray(feats.desc)
+        m.kf_level[k] = np.asarray(feats.level)
+        m.kf_angle[k] = np.asarray(feats.angle)
+        m.kf_feat_valid[k] = np.asarray(feats.valid)
+        slots = np.flatnonzero(valid)
+        rays = np.asarray(unproject(cfg.cam, feats.uv))[slots]
+        rays = rays / rays[:, 2:3]
+        pts = rays * d[slots, None]  # camera frame == world (T = I)
+        mp_idx = m.alloc_points(len(slots))
+        m.mp_pos[mp_idx] = pts.astype(np.float32)
+        m.mp_first_kf[mp_idx] = k
+        m.kf_obs[k, slots] = mp_idx
+        m.update_point_stats(mp_idx, cfg.scale_factors())
+        obs = np.full(feats.capacity, NO_POINT, np.int32)
+        obs[slots] = mp_idx
+        self.last = FrameRecord(feats, SE3.identity(), obs, ts, fid, depth=d)
+        self.ref_kf = k
+        self.state = OK
+        self.frames_since_kf = 0
+        self.velocity = None
+        if self.on_keyframe is not None:
+            self.on_keyframe(k)
         return self.last.T_cw
 
     def _create_initial_map(self, f0: Features, f1: Features, idx, res, ts, fid):
@@ -279,13 +335,20 @@ class Tracker:
         if not ok_track:
             # --- TrackReferenceKeyFrame: BoW-free brute match to ref KF points
             T_cur, obs_mp, ok_track = self._track_reference_kf(feats, T_pred)
-            if not ok_track:
-                self.lost_frames += 1
-                if self.state == OK:
-                    self.state = RECENTLY_LOST
-                elif self.lost_frames > self.cfg.recently_lost_budget:
-                    self.state = LOST
-                return None
+        if not ok_track and self.relocalize_fn is not None:
+            # --- Relocalization (RECENTLY_LOST path)
+            rel = self.relocalize_fn(feats, fid)
+            if rel is not None:
+                T_cur, obs_mp = rel
+                ok_track = True
+                self.velocity = None
+        if not ok_track:
+            self.lost_frames += 1
+            if self.state == OK:
+                self.state = RECENTLY_LOST
+            elif self.lost_frames > self.cfg.recently_lost_budget:
+                self.state = LOST
+            return None
 
         # --- TrackLocalMap
         T_cur, obs_mp, n_inl = self._track_local_map(feats, T_cur, obs_mp)
@@ -296,14 +359,14 @@ class Tracker:
             if self.lost_frames > cfg.recently_lost_budget:
                 self.state = LOST
             # keep motion model alive
-            rec = FrameRecord(feats, T_cur, obs_mp, ts, fid)
+            rec = FrameRecord(feats, T_cur, obs_mp, ts, fid, depth=self._cur_depth)
             self._update_motion_model(rec)
             self.last = rec
             return T_cur
         self.state = OK
         self.lost_frames = 0
 
-        rec = FrameRecord(feats, T_cur, obs_mp, ts, fid)
+        rec = FrameRecord(feats, T_cur, obs_mp, ts, fid, depth=self._cur_depth)
         self._update_motion_model(rec)
         self.last = rec
         self.frames_since_kf += 1
@@ -498,10 +561,44 @@ class Tracker:
         m.kf_angle[k] = np.asarray(f.angle)
         m.kf_feat_valid[k] = np.asarray(f.valid)
         m.kf_obs[k] = rec.obs_mp
+        if rec.depth is not None:
+            self._spawn_depth_points(k, rec)
         self.ref_kf = k
         self.frames_since_kf = 0
         if self.on_keyframe is not None:
             self.on_keyframe(k)
+
+    def _spawn_depth_points(self, k: int, rec: FrameRecord):
+        """Create close points from depth on keyframe insertion (reference:
+        CreateNewKeyFrame stereo path, src/Tracking.cc:3260 region — up to
+        100 closest unmatched features with valid depth)."""
+        m = self.map
+        f = rec.features
+        d = rec.depth
+        free = (
+            np.asarray(f.valid)
+            & (m.kf_obs[k] == NO_POINT)
+            & (d > 0)
+            & (d < self.cfg.depth_point_max)
+        )
+        slots = np.flatnonzero(free)
+        if len(slots) == 0:
+            return
+        order = np.argsort(d[slots])
+        slots = slots[order[:100]]
+        rays = np.asarray(unproject(self.cfg.cam, f.uv))[slots]
+        rays = rays / rays[:, 2:3]
+        pc = rays * d[slots, None]
+        T_wc = rec.T_cw.inverse()
+        pw = np.asarray(T_wc.apply(jnp.asarray(pc.astype(np.float32))))
+        try:
+            mp_idx = m.alloc_points(len(slots))
+        except RuntimeError:
+            return
+        m.mp_pos[mp_idx] = pw
+        m.mp_first_kf[mp_idx] = k
+        m.kf_obs[k, slots] = mp_idx
+        m.update_point_stats(mp_idx, self.cfg.scale_factors())
 
 
 def _build_ba_problem(m: MapState, cfg: TrackerConfig, kf_sel, mp_sel, fixed):
