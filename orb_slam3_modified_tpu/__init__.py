@@ -14,14 +14,18 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the SLAM step graphs are large and the TPU
 # toolchain here compiles remotely (minutes); cache so each (shape, config)
-# compiles once per machine, not once per process.
+# compiles once per machine, not once per process. Scoped per-platform:
+# CPU AOT artifacts are machine-feature-sensitive and noisy to reload, so
+# only the TPU path gets a persistent cache by default.
 import os as _os
 
-_cache_dir = _os.environ.get(
-    "ORB_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/orb_slam3_tpu_jax")
-)
-_os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_platform = _os.environ.get("JAX_PLATFORMS", "")
+if "cpu" not in _platform:
+    _cache_dir = _os.environ.get(
+        "ORB_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/orb_slam3_tpu_jax")
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"

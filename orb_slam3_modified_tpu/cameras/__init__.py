@@ -6,7 +6,9 @@ from .models import (
     in_image,
     project,
     project_jac,
+    project_np,
     unproject,
+    unproject_np,
 )
 
 __all__ = [
@@ -15,6 +17,8 @@ __all__ = [
     "FISHEYE_KB8",
     "project",
     "unproject",
+    "project_np",
+    "unproject_np",
     "project_jac",
     "in_image",
 ]

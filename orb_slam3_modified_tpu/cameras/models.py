@@ -224,6 +224,52 @@ def project_jac(cam: Camera, pc):
     return _kb8_project_jac(cam.params, pc)
 
 
+def project_np(cam: Camera, pc):
+    """Numpy projection for small host-side gating math (no device dispatch,
+    no recompiles on varying candidate counts). pc: (N, 3) numpy."""
+    import numpy as np
+
+    p = np.asarray(cam.params)
+    if cam.kind == PINHOLE:
+        z = pc[..., 2]
+        zs = np.where(np.abs(z) < _Z_EPS, _Z_EPS, z)
+        return np.stack(
+            [p[0] * pc[..., 0] / zs + p[2], p[1] * pc[..., 1] / zs + p[3]], axis=-1
+        )
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    r = np.sqrt(np.maximum(x * x + y * y, 1e-18))
+    theta = np.arctan2(r, z)
+    th2 = theta * theta
+    r_theta = theta * (1 + th2 * (p[4] + th2 * (p[5] + th2 * (p[6] + th2 * p[7]))))
+    scale = np.where(r < 1e-6, 0.0, r_theta / np.where(r < 1e-6, 1.0, r))
+    return np.stack([p[0] * scale * x + p[2], p[1] * scale * y + p[3]], axis=-1)
+
+
+def unproject_np(cam: Camera, uv):
+    """Numpy unprojection (host-side). uv: (N, 2) numpy -> (N, 3) rays."""
+    import numpy as np
+
+    p = np.asarray(cam.params)
+    if cam.kind == PINHOLE:
+        x = (uv[..., 0] - p[2]) / p[0]
+        y = (uv[..., 1] - p[3]) / p[1]
+        return np.stack([x, y, np.ones_like(x)], axis=-1)
+    mx = (uv[..., 0] - p[2]) / p[0]
+    my = (uv[..., 1] - p[3]) / p[1]
+    r_d = np.sqrt(mx * mx + my * my)
+    theta = r_d.copy()
+    for _ in range(10):
+        th2 = theta * theta
+        f = theta * (1 + th2 * (p[4] + th2 * (p[5] + th2 * (p[6] + th2 * p[7])))) - r_d
+        fp = 1 + th2 * (3 * p[4] + th2 * (5 * p[5] + th2 * (7 * p[6] + th2 * 9 * p[7])))
+        theta = theta - f / np.where(np.abs(fp) < 1e-6, 1e-6, fp)
+    small = r_d < 1e-9
+    s = np.where(small, 0.0, np.tan(theta) / np.where(small, 1.0, r_d))
+    x = np.where(small, mx, mx * s)
+    y = np.where(small, my, my * s)
+    return np.stack([x, y, np.ones_like(x)], axis=-1)
+
+
 def in_image(cam: Camera, uv, margin: float = 0.0):
     return (
         (uv[..., 0] >= margin)

@@ -66,6 +66,14 @@ class LoopCloser:
         self.n_loops_closed = 0
         self.n_merges = 0
         self.last_loop_kf = -1
+        slam_map.kf_removed_callbacks.append(self._on_kf_removed)
+
+    def _on_kf_removed(self, k: int):
+        """Keyframe slots are reused after culling — drop cached state."""
+        self.kf_words.pop(k, None)
+        self.kfdb.erase(k)
+        if self.hypothesis and self.hypothesis[0] == k:
+            self.hypothesis = None
 
     # ------------------------------------------------------------------ API
     def on_keyframe(self, k: int) -> bool:
@@ -116,8 +124,10 @@ class LoopCloser:
     def _detect(self, k: int, words):
         m = self.map
         exclude = {int(k)}
+        # reference: spConnectedKeyFrames = weight >= 15 neighbors
+        # (KeyFrame::GetConnectedKeyFrames); weaker links stay searchable
         w = m.covisibility_weights(k)
-        exclude |= {int(x) for x in np.flatnonzero(w > 0)}
+        exclude |= {int(x) for x in np.flatnonzero(w >= 15)}
         covis_groups = {
             int(c): [int(x) for x in m.best_covisible(int(c), 10, min_weight=5)]
             for c in m.keyframe_indices()
@@ -162,10 +172,8 @@ class LoopCloser:
         mp_k = mps_k[sel]
         mp_c = mps_c[np.clip(idx_np[sel], 0, len(slots_c) - 1)]
         # 3D points in each keyframe's camera frame
-        T_k = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
-        T_c = SE3(jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c]))
-        pk = np.asarray(T_k.apply(jnp.asarray(m.mp_pos[mp_k])))
-        pc = np.asarray(T_c.apply(jnp.asarray(m.mp_pos[mp_c])))
+        pk = m.mp_pos[mp_k] @ m.kf_R[k].T + m.kf_t[k]
+        pc = m.mp_pos[mp_c] @ m.kf_R[c].T + m.kf_t[c]
         cap = 512
         n = min(len(pk), cap)
         valid = np.zeros(cap, bool)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..cameras import Camera, project, unproject
+from ..cameras import Camera, project_np, unproject_np
 from ..features.matcher import TH_LOW, mutual_best_match, resolve_duplicate_targets
 from ..geom import projection_matrix, triangulate_dlt
 from ..lie.se3 import SE3
@@ -103,33 +103,38 @@ class LocalMapper:
             if keep_np.sum() == 0:
                 continue
             sel = np.flatnonzero(keep_np)
-            # triangulate matched pairs (unit-plane DLT)
+            # triangulate matched pairs (unit-plane DLT); bucket-pad so the
+            # batched eigensolve compiles per bucket, not per match count
             uv1 = m.kf_uv[k][sel]
             uv2 = m.kf_uv[kn][idx_np[sel]]
-            r1 = np.asarray(unproject(cam, jnp.asarray(uv1)))
-            r2 = np.asarray(unproject(cam, jnp.asarray(uv2)))
+            r1 = unproject_np(cam, uv1)
+            r2 = unproject_np(cam, uv2)
             x1 = r1[:, :2] / r1[:, 2:3]
             x2 = r2[:, :2] / r2[:, 2:3]
             P1 = np.asarray(projection_matrix(T_k))
             P2 = np.asarray(projection_matrix(T_n))
+            nsel = len(sel)
+            bucket = max(256, int(np.ceil(nsel / 256) * 256))
             pts = np.asarray(
                 triangulate_dlt(
-                    jnp.asarray(np.broadcast_to(P1, (len(sel), 3, 4))),
-                    jnp.asarray(np.broadcast_to(P2, (len(sel), 3, 4))),
-                    jnp.asarray(x1),
-                    jnp.asarray(x2),
+                    jnp.asarray(np.broadcast_to(P1, (bucket, 3, 4))),
+                    jnp.asarray(np.broadcast_to(P2, (bucket, 3, 4))),
+                    jnp.asarray(_pad1(x1.astype(np.float32), bucket)),
+                    jnp.asarray(_pad1(x2.astype(np.float32), bucket)),
                 )
-            )
+            )[:nsel]
             # acceptance gates (reference: cheirality, parallax, reproj, scale)
-            pc1 = np.asarray(T_k.apply(jnp.asarray(pts)))
-            pc2 = np.asarray(T_n.apply(jnp.asarray(pts)))
+            R_k_np, t_k_np = m.kf_R[k], m.kf_t[k]
+            R_n_np, t_n_np = m.kf_R[kn], m.kf_t[kn]
+            pc1 = pts @ R_k_np.T + t_k_np
+            pc2 = pts @ R_n_np.T + t_n_np
             v1 = pts - center_k
             v2 = pts - center_n
             cosp = np.sum(v1 * v2, -1) / (
                 np.linalg.norm(v1, axis=-1) * np.linalg.norm(v2, axis=-1) + 1e-12
             )
-            uv1_pred = np.asarray(project(cam, jnp.asarray(pc1)))
-            uv2_pred = np.asarray(project(cam, jnp.asarray(pc2)))
+            uv1_pred = project_np(cam, pc1)
+            uv2_pred = project_np(cam, pc2)
             e1 = np.sum((uv1_pred - uv1) ** 2, -1) * inv_s2[m.kf_level[k][sel]]
             e2 = np.sum((uv2_pred - uv2) ** 2, -1) * inv_s2[m.kf_level[kn][idx_np[sel]]]
             good = (
@@ -172,9 +177,8 @@ class LocalMapper:
             return
         for kn in neighbors:
             kn = int(kn)
-            T_n = SE3(jnp.asarray(m.kf_R[kn]), jnp.asarray(m.kf_t[kn]))
-            pc = np.asarray(T_n.apply(jnp.asarray(m.mp_pos[mps_k])))
-            uv = np.asarray(project(cam, jnp.asarray(pc)))
+            pc = m.mp_pos[mps_k] @ m.kf_R[kn].T + m.kf_t[kn]
+            uv = project_np(cam, pc)
             visible = (
                 (pc[:, 2] > 0.05)
                 & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
@@ -303,8 +307,8 @@ def _epipolar_mask(cam, uv1, uv2, level2, T_1w: SE3, T_2w: SE3, inv_s2):
     # relative pose cam2 <- cam1
     T_21 = T_2w @ T_1w.inverse()
     E = np.asarray(jnp.einsum("ij,jk->ik", _hat(np.asarray(T_21.t)), np.asarray(T_21.R)))
-    r1 = np.asarray(unproject(cam, jnp.asarray(uv1)))  # (F1, 3) unit-plane
-    r2 = np.asarray(unproject(cam, jnp.asarray(uv2)))
+    r1 = unproject_np(cam, uv1)  # (F1, 3) unit-plane
+    r2 = unproject_np(cam, uv2)
     l2 = r1 @ E.T  # epiline in image-2 unit plane: l = E x1
     d = np.einsum("nj,mj->nm", l2, r2)  # (F1, F2) algebraic distance
     den = l2[:, 0] ** 2 + l2[:, 1] ** 2

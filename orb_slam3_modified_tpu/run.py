@@ -1,0 +1,123 @@
+"""Dataset runner CLI — the Examples/ mains equivalent.
+
+TPU-native replacement for the reference example executables (reference:
+Examples/Monocular/mono_euroc.cc, Examples/Stereo/stereo_euroc.cc,
+Examples/RGB-D/rgbd_tum.cc and friends, registered in CMakeLists.txt:162-262).
+
+Usage:
+  python -m orb_slam3_modified_tpu.run --dataset euroc --path /data/MH01 \
+      --config configs/euroc_mono.yaml --sensor mono --out traj.txt
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native SLAM dataset runner")
+    p.add_argument("--dataset", choices=["euroc", "tum", "kitti"], required=True)
+    p.add_argument("--path", required=True)
+    p.add_argument("--config", default=None, help="settings YAML (reference format)")
+    p.add_argument("--sensor", choices=["mono", "stereo", "rgbd", "mono-imu"], default="mono")
+    p.add_argument("--out", default="trajectory_tum.txt")
+    p.add_argument("--kf-out", default=None)
+    p.add_argument("--atlas-out", default=None, help="save atlas checkpoint")
+    p.add_argument("--atlas-in", default=None, help="resume from checkpoint")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--no-loop", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from .cameras import Camera
+    from .features.extractor import ExtractorConfig, extract
+    from .io.datasets import EurocDataset, KittiDataset, TumDataset
+    from .ops.stereo_match import depth_from_depthmap, match_stereo
+    from .system.slam_system import MONOCULAR, RGBD, STEREO, SlamSystem, SystemConfig
+
+    if args.config:
+        from .io.settings import load_settings
+
+        st = load_settings(args.config)
+        cam = st.cam
+        ecfg = st.extractor
+        bf = st.baseline
+    else:
+        cam = Camera.pinhole(458.654, 457.296, 367.215, 248.375, width=752, height=480)
+        ecfg = ExtractorConfig()
+        bf = 458.654 * 0.11
+
+    sensor = {"mono": MONOCULAR, "stereo": STEREO, "rgbd": RGBD, "mono-imu": MONOCULAR}[
+        args.sensor
+    ]
+    sys_cfg = SystemConfig(
+        cam=cam, sensor=sensor, extractor=ecfg, use_loop_closing=not args.no_loop
+    )
+    slam = SlamSystem(sys_cfg)
+    if args.atlas_in:
+        from .slam_map.serialization import load_atlas
+
+        slam.map = load_atlas(args.atlas_in)
+        slam.tracker.map = slam.map
+        slam.mapper.map = slam.map
+        if slam.closer:
+            slam.closer.map = slam.map
+
+    if args.dataset == "euroc":
+        ds = EurocDataset(args.path, stereo=args.sensor == "stereo",
+                          with_imu="imu" in args.sensor)
+    elif args.dataset == "tum":
+        ds = TumDataset(args.path, with_depth=args.sensor == "rgbd")
+    else:
+        ds = KittiDataset(args.path, stereo=args.sensor == "stereo")
+
+    import jax.numpy as jnp
+
+    n_done = 0
+    t_start = time.perf_counter()
+    for frame in ds:
+        img = jnp.asarray(frame.image)
+        if args.sensor == "stereo" and frame.image_right is not None:
+            feats = extract(img, ecfg)
+            feats_r = extract(jnp.asarray(frame.image_right), ecfg)
+            _, depth, _ = match_stereo(
+                feats.uv, feats.desc, feats.level, feats.valid,
+                feats_r.uv, feats_r.desc, feats_r.level, feats_r.valid,
+                bf=bf, min_z=0.3,
+            )
+            slam.track_features(feats, frame.ts)
+            # depth injected at keyframe level through tracker.track(depth=)
+            slam.tracker._cur_depth = np.asarray(depth)
+        elif args.sensor == "rgbd" and frame.depth is not None:
+            feats = extract(img, ecfg)
+            depth = depth_from_depthmap(feats.uv, jnp.asarray(frame.depth))
+            slam.tracker.track(feats, frame.ts, depth=np.asarray(depth))
+        else:
+            slam.track_monocular(img, frame.ts)
+        n_done += 1
+        if args.max_frames and n_done >= args.max_frames:
+            break
+        if n_done % 100 == 0:
+            fps = n_done / (time.perf_counter() - t_start)
+            print(f"[{n_done}/{len(ds)}] {fps:.1f} fps, "
+                  f"kfs={slam.map.n_keyframes()} mps={slam.map.n_points()}",
+                  file=sys.stderr)
+
+    slam.save_trajectory_tum(args.out)
+    if args.kf_out:
+        slam.save_keyframe_trajectory_tum(args.kf_out)
+    if args.atlas_out:
+        from .slam_map.serialization import save_atlas
+
+        save_atlas(args.atlas_out, slam.map)
+    print(slam.timing.dump())
+    fps = n_done / (time.perf_counter() - t_start)
+    print(f"done: {n_done} frames at {fps:.1f} fps")
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,7 @@ class MapState:
     next_kf: int = 0
     n_inertial_ba: int = 0  # 0 = none, 1 = VIBA1 done, 2 = VIBA2 done
     imu_initialized: bool = False
+    kf_removed_callbacks: list = dataclasses.field(default_factory=list)
 
     @staticmethod
     def create(max_kf: int = 512, max_mp: int = 32768, feat_cap: int = 1024):
@@ -179,8 +180,14 @@ class MapState:
         """Shared-observation counts between kf k and every other kf.
 
         Reference: KeyFrame::UpdateConnections counts shared MapPoints.
-        Returns (K,) int32 (0 for self/invalid).
+        Returns (K,) int32 (0 for self/invalid). Uses the native C++ engine
+        when available (orb_slam3_modified_tpu.native), numpy otherwise.
         """
+        from .. import native
+
+        w = native.covis_weights(self.kf_obs, self.kf_valid, self.mp_valid.shape[0], k)
+        if w is not None:
+            return w
         mp = self.kf_obs[k]
         observed = np.zeros(self.mp_valid.shape[0] + 1, bool)
         observed[mp[mp != NO_POINT]] = True
@@ -200,6 +207,13 @@ class MapState:
 
     def point_observers(self, mp_idx: np.ndarray):
         """For a set of points, boolean (K,) of keyframes observing any."""
+        from .. import native
+
+        out = native.point_observers(
+            self.kf_obs, self.kf_valid, self.mp_valid.shape[0], np.atleast_1d(mp_idx)
+        )
+        if out is not None:
+            return out
         mask = np.zeros(self.mp_valid.shape[0] + 1, bool)
         mask[mp_idx] = True
         safe = np.where(self.kf_obs == NO_POINT, self.mp_valid.shape[0], self.kf_obs)
@@ -207,6 +221,11 @@ class MapState:
 
     def obs_count_per_point(self):
         """(M,) number of keyframes observing each point."""
+        from .. import native
+
+        out = native.obs_counts(self.kf_obs, self.kf_valid, self.mp_valid.shape[0])
+        if out is not None:
+            return out.astype(np.int64)
         counts = np.zeros(self.mp_valid.shape[0], np.int64)
         flat = self.kf_obs[self.kf_valid].ravel()
         flat = flat[flat != NO_POINT]
@@ -228,6 +247,10 @@ class MapState:
         self.kf_valid[k] = False
         self.kf_obs[k] = NO_POINT
         self.kf_feat_valid[k] = False
+        # slots are free-listed and reused: observers (keyframe database,
+        # word caches) must drop their entries for this id
+        for cb in self.kf_removed_callbacks:
+            cb(int(k))
 
     def replace_point(self, old: int, new: int):
         """Fuse: redirect observations of `old` to `new` (reference

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..cameras import Camera, project, unproject
+from ..cameras import Camera, project, project_np, unproject, unproject_np
 from ..features.extractor import ExtractorConfig, Features
 from ..features.matcher import (
     TH_HIGH,
@@ -197,7 +197,7 @@ class Tracker:
         m.kf_angle[k] = np.asarray(feats.angle)
         m.kf_feat_valid[k] = np.asarray(feats.valid)
         slots = np.flatnonzero(valid)
-        rays = np.asarray(unproject(cfg.cam, feats.uv))[slots]
+        rays = unproject_np(cfg.cam, np.asarray(feats.uv))[slots]
         rays = rays / rays[:, 2:3]
         pts = rays * d[slots, None]  # camera frame == world (T = I)
         mp_idx = m.alloc_points(len(slots))
@@ -304,8 +304,9 @@ class Tracker:
             cand_valid = np.zeros(cap, bool)
             cand_valid[:n_cand] = m.mp_valid[cand_mp[:n_cand]]
             pos = m.mp_pos[cand_mp]
-            pc = np.asarray(T_pred.apply(jnp.asarray(pos)))
-            uv_pred = np.asarray(project(cfg.cam, jnp.asarray(pc)))
+            R_p, t_p = np.asarray(T_pred.R), np.asarray(T_pred.t)
+            pc = pos @ R_p.T + t_p
+            uv_pred = project_np(cfg.cam, pc)
             lvl_pred = self._predict_levels(pos, T_pred)
             in_front = pc[:, 2] > 0
             radius = jnp.asarray(15.0 * cfg.scale_factors(), jnp.float32)
@@ -480,8 +481,9 @@ class Tracker:
         add_feat = np.empty(0, np.int64)
         if len(mp_new) > 0:
             pos = m.mp_pos[mp_new]
-            pc = np.asarray(T_cur.apply(jnp.asarray(pos)))
-            uv_pred = np.asarray(project(cfg.cam, jnp.asarray(pc)))
+            R_c, t_c = np.asarray(T_cur.R), np.asarray(T_cur.t)
+            pc = pos @ R_c.T + t_c
+            uv_pred = project_np(cfg.cam, pc)
             in_img = (
                 (pc[:, 2] > 0.05)
                 & (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < cfg.cam.width)
@@ -586,11 +588,12 @@ class Tracker:
             return
         order = np.argsort(d[slots])
         slots = slots[order[:100]]
-        rays = np.asarray(unproject(self.cfg.cam, f.uv))[slots]
+        rays = unproject_np(self.cfg.cam, np.asarray(f.uv))[slots]
         rays = rays / rays[:, 2:3]
         pc = rays * d[slots, None]
         T_wc = rec.T_cw.inverse()
-        pw = np.asarray(T_wc.apply(jnp.asarray(pc.astype(np.float32))))
+        R_w, t_w = np.asarray(T_wc.R), np.asarray(T_wc.t)
+        pw = (pc @ R_w.T + t_w).astype(np.float32)
         try:
             mp_idx = m.alloc_points(len(slots))
         except RuntimeError:

@@ -24,10 +24,23 @@ class SyntheticFeatureWorld:
         noise_px=0.4,
         desc_flips=4,
         n_levels=8,
+        layout="box",
     ):
         rng = np.random.default_rng(seed)
         self.rng = rng
-        self.points = rng.uniform(-spread, spread, (n_points, 3)).astype(np.float32)
+        if layout == "ring":
+            # annulus wall: revisit tests need covisibility to decay around
+            # the loop, so keep the center empty
+            ang = rng.uniform(0, 2 * np.pi, n_points)
+            rad = rng.uniform(spread * 0.5, spread, n_points)
+            z = rng.uniform(-spread * 0.4, spread * 0.4, n_points)
+            self.points = np.stack(
+                [rad * np.cos(ang), z, rad * np.sin(ang)], axis=1
+            ).astype(np.float32)
+        else:
+            self.points = rng.uniform(-spread, spread, (n_points, 3)).astype(
+                np.float32
+            )
         self.desc = rng.integers(0, 2**32, (n_points, 8), dtype=np.uint32)
         self.feat_cap = feat_cap
         self.noise_px = noise_px
@@ -50,7 +63,9 @@ class SyntheticFeatureWorld:
             & (uv[:, 1] >= 10) & (uv[:, 1] < cam.height - 10)
         )
         idx = np.flatnonzero(vis)
-        self.rng.shuffle(idx)
+        # deterministic subsample: a real detector re-finds the same corners
+        # across frames, so selection must be stable, not random — otherwise
+        # consecutive frames share only |S|^2/|visible| features
         n = min(len(idx), max_feats or cap, cap)
         idx = idx[:n]
         uv_o = uv[idx] + self.rng.normal(0, self.noise_px, (n, 2))

@@ -19,8 +19,11 @@ CAM = Camera.pinhole(458.654, 457.296, 367.215, 248.375, width=752, height=480)
 @pytest.fixture(scope="module")
 def loop_run():
     n_frames = 90
+    # ring layout: covisibility decays around the loop so the revisit is a
+    # genuine place-recognition event, not continuous covisibility
     world = SyntheticFeatureWorld(
-        n_points=6000, spread=5.0, seed=7, feat_cap=768, noise_px=0.5
+        n_points=8000, spread=7.0, seed=7, feat_cap=768, noise_px=0.5,
+        layout="ring",
     )
     voc = build_vocabulary(world.desc[:4000], k=8, depth=3, seed=1)
     T_all = orbit_trajectory(n_frames, radius=4.0, sweep=2.05 * np.pi)
