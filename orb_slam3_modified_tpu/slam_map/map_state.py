@@ -50,6 +50,10 @@ class MapState:
     mp_first_kf: np.ndarray  # (M,) int32 creating keyframe
     mp_found: np.ndarray  # (M,) int32 times matched by tracker
     mp_visible: np.ndarray  # (M,) int32 times predicted visible
+    # inertial state per keyframe (reference: KeyFrame velocity/bias fields,
+    # include/KeyFrame.h:148-191 serialize block)
+    kf_vel: np.ndarray = None  # (K, 3) body velocity in world
+    kf_bias: np.ndarray = None  # (K, 6) [bg, ba]
     # multi-map (Atlas) labels: which logical map each kf/point belongs to.
     # A single SoA arena holds every map (reference: Atlas holds Map*s,
     # include/Atlas.h:79); sharing the index space makes the keyframe
@@ -70,6 +74,8 @@ class MapState:
         return MapState(
             kf_map=np.zeros(K, np.int32),
             mp_map=np.zeros(M, np.int32),
+            kf_vel=np.zeros((K, 3), np.float32),
+            kf_bias=np.zeros((K, 6), np.float32),
             kf_valid=np.zeros(K, bool),
             kf_R=np.tile(np.eye(3, dtype=np.float32), (K, 1, 1)),
             kf_t=np.zeros((K, 3), np.float32),

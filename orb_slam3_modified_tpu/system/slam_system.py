@@ -29,6 +29,8 @@ from ..utils.timing import TimeStats
 MONOCULAR = 0
 STEREO = 1
 RGBD = 2
+IMU_MONOCULAR = 3
+IMU_STEREO = 4
 
 
 @dataclasses.dataclass
@@ -42,6 +44,7 @@ class SystemConfig:
     use_loop_closing: bool = True  # reference: loopClosing YAML flag
     min_kfs_for_new_map: int = 10  # reference: >10 KFs -> new map on LOST
     extractor: ExtractorConfig = None
+    imu: object = None  # ImuConfig for *-inertial sensors
 
 
 class SlamSystem:
@@ -66,6 +69,14 @@ class SlamSystem:
             else None
         )
         self.tracker.on_keyframe = self._on_keyframe
+        if cfg.sensor in (IMU_MONOCULAR, IMU_STEREO):
+            from ..tracking.imu_frontend import ImuConfig, ImuFrontend
+
+            self.tracker.imu = ImuFrontend(cfg.imu or ImuConfig())
+            if self.closer is not None:
+                # inertial maps: gravity fixes roll/pitch and (with IMU) the
+                # scale, so loop Sim3 is scale-fixed (reference: bFixScale)
+                self.closer.cfg.fix_scale = True
         if self.closer is not None:
             self.tracker.relocalize_fn = self._relocalize
         self.ecfg = cfg.extractor or ExtractorConfig(n_features=cfg.feat_cap)
@@ -93,10 +104,22 @@ class SlamSystem:
             feats = extract(image, self.ecfg)
         return self.track_features(feats, ts)
 
-    def track_features(self, feats: Features, ts: float):
+    def track_monocular_inertial(self, image, ts: float, imu_samples):
+        """Mono-inertial entry: imu_samples = (acc (N,3), gyro (N,3), dts).
+
+        Reference: System::TrackMonocular with vImuMeas (src/System.cc:426)."""
+        with self.timing.measure("extract"):
+            feats = extract(image, self.ecfg)
+        with self.timing.measure("track"):
+            T = self.tracker.track(feats, ts, imu_samples=imu_samples)
+        self._handle_loss()
+        self.poses.append((ts, T))
+        return T
+
+    def track_features(self, feats: Features, ts: float, depth=None, imu_samples=None):
         """Feature-level entry (decoupled frontend, used by tests/bench)."""
         with self.timing.measure("track"):
-            T = self.tracker.track(feats, ts)
+            T = self.tracker.track(feats, ts, depth=depth, imu_samples=imu_samples)
         self._handle_loss()
         self.poses.append((ts, T))
         return T
@@ -141,7 +164,7 @@ class SlamSystem:
         from ..lie import so3
 
         lines = []
-        for ts, fid, T in self.tracker.trajectory:
+        for ts, fid, T in self.tracker.absolute_trajectory():
             Twc = np.linalg.inv(T)
             q = np.asarray(so3.quat_from_mat(jnp.asarray(Twc[:3, :3])))
             t = Twc[:3, 3]

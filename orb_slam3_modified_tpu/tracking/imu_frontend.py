@@ -1,0 +1,231 @@
+"""Visual-inertial tracking state: preintegration buffers + staged init.
+
+TPU-native replacement for the IMU plumbing inside the reference Tracking
+and LocalMapping threads (reference: Tracking::PreintegrateIMU
+src/Tracking.cc:1627, PredictStateIMU :1741, UpdateFrameIMU :3983;
+LocalMapping::InitializeIMU :1173 with priors 1e2/1e10, VIBA1 at t>5s,
+VIBA2 at t>15s :207-230, ScaleRefinement :1429).
+
+The frontend owns body state (velocity, biases), per-frame and per-keyframe
+preintegrated deltas, and runs the staged initialization over the keyframe
+chain. Camera<->body extrinsics follow the reference's Tbc convention.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..imu.preintegration import (
+    GRAVITY,
+    ImuBias,
+    Preintegrated,
+    integrate,
+    merge,
+    predict_state,
+)
+from ..lie.se3 import SE3
+from ..optim.inertial import InertialChain, inertial_only_optimization
+
+IMU_BATCH = 64  # padded samples per frame gap
+
+
+@dataclasses.dataclass
+class ImuConfig:
+    noise_gyro: float = 1.7e-4
+    noise_acc: float = 2.0e-3
+    walk_gyro: float = 1.9e-5
+    walk_acc: float = 3.0e-3
+    freq: float = 200.0
+    R_bc: np.ndarray = None  # camera-to-body rotation
+    t_bc: np.ndarray = None
+    init_time: float = 2.0  # seconds of keyframes before first IMU init
+    viba1_time: float = 5.0
+    viba2_time: float = 15.0
+
+
+class ImuFrontend:
+    def __init__(self, cfg: ImuConfig):
+        self.cfg = cfg
+        if cfg.R_bc is None:
+            cfg.R_bc = np.eye(3, dtype=np.float32)
+        if cfg.t_bc is None:
+            cfg.t_bc = np.zeros(3, np.float32)
+        self.bias = ImuBias.zero()
+        self.v_w = np.zeros(3, np.float32)  # body velocity in world
+        self.initialized = False
+        self.stage = 0  # 0=none, 1=init done, 2=VIBA1, 3=VIBA2
+        self.preint_frame: Preintegrated | None = None  # since last frame
+        self.preint_kf: Preintegrated | None = None  # since last keyframe
+        self.kf_chain: list = []  # [(kf_idx, Preintegrated from prev kf)]
+        self.first_kf_ts: float | None = None
+        self.R_gw = np.eye(3, dtype=np.float32)  # gravity alignment applied
+
+    # ----------------------------------------------------------- per frame
+    def integrate_frame(self, acc, gyro, dts):
+        """Preintegrate this frame's IMU batch (padded device scan)."""
+        n = len(dts)
+        pad = max(IMU_BATCH, int(np.ceil(max(n, 1) / IMU_BATCH) * IMU_BATCH))
+        a = np.zeros((pad, 3), np.float32)
+        g = np.zeros((pad, 3), np.float32)
+        d = np.zeros(pad, np.float32)
+        v = np.zeros(pad, bool)
+        a[:n], g[:n], d[:n], v[:n] = acc, gyro, dts, True
+        pre = integrate(
+            jnp.asarray(a), jnp.asarray(g), jnp.asarray(d), jnp.asarray(v),
+            self.bias,
+            self.cfg.noise_gyro, self.cfg.noise_acc,
+            self.cfg.walk_gyro, self.cfg.walk_acc, self.cfg.freq,
+        )
+        self.preint_frame = pre
+        self.preint_kf = pre if self.preint_kf is None else merge(self.preint_kf, pre)
+        return pre
+
+    def predict_pose(self, T_cw_last: SE3):
+        """IMU dead-reckoning of the next camera pose (PredictStateIMU).
+
+        T_bw = T_bc o T_cw; predict the body state across the frame gap,
+        then map back: T_cw' = T_bc^-1 o T_bw'.
+        """
+        if self.preint_frame is None:
+            return None
+        R_bc = self.cfg.R_bc.astype(np.float32)
+        t_bc = self.cfg.t_bc.astype(np.float32)
+        R_cw = np.asarray(T_cw_last.R)
+        t_cw = np.asarray(T_cw_last.t)
+        R_bw = R_bc @ R_cw
+        t_bw = R_bc @ t_cw + t_bc
+        R_wb = R_bw.T
+        p_wb = -R_bw.T @ t_bw
+        R_new, v_new, p_new = predict_state(
+            jnp.asarray(R_wb.astype(np.float32)),
+            jnp.asarray(self.v_w),
+            jnp.asarray(p_wb.astype(np.float32)),
+            self.preint_frame,
+            self.bias,
+        )
+        R_new = np.asarray(R_new)
+        p_new = np.asarray(p_new)
+        self._pred_v = np.asarray(v_new)
+        R_bw_new = R_new.T
+        t_bw_new = -R_bw_new @ p_new
+        R_cw_new = R_bc.T @ R_bw_new
+        t_cw_new = R_bc.T @ (t_bw_new - t_bc)
+        return SE3(
+            jnp.asarray(R_cw_new.astype(np.float32)),
+            jnp.asarray(t_cw_new.astype(np.float32)),
+        )
+
+    def commit_frame_velocity(self, T_cw_prev: SE3, T_cw_cur: SE3, dt: float):
+        """Update velocity from consecutive optimized poses (visual path) or
+        the IMU prediction when initialized."""
+        if dt <= 0:
+            return
+        if self.initialized and hasattr(self, "_pred_v"):
+            self.v_w = self._pred_v
+        else:
+            c_prev = np.asarray(T_cw_prev.inverse().t)
+            c_cur = np.asarray(T_cw_cur.inverse().t)
+            self.v_w = ((c_cur - c_prev) / dt).astype(np.float32)
+
+    # -------------------------------------------------------- per keyframe
+    def on_keyframe(self, kf_idx: int, ts: float, slam_map):
+        if self.first_kf_ts is None:
+            self.first_kf_ts = ts
+        if self.preint_kf is not None:
+            self.kf_chain.append((kf_idx, self.preint_kf))
+        self.preint_kf = None
+        slam_map.kf_vel[kf_idx] = self.v_w
+
+    def maybe_initialize(self, slam_map, tracker) -> bool:
+        """Staged IMU init on the keyframe chain (InitializeIMU analog)."""
+        if self.first_kf_ts is None or len(self.kf_chain) < 4:
+            return False
+        last_ts = slam_map.kf_ts[self.kf_chain[-1][0]]
+        elapsed = last_ts - self.first_kf_ts
+        if self.stage == 0 and elapsed < self.cfg.init_time:
+            return False
+        if self.stage == 1 and elapsed < self.cfg.viba1_time:
+            return False
+        if self.stage == 2 and elapsed < self.cfg.viba2_time:
+            return False
+        if self.stage >= 3:
+            return False
+
+        kfs = [k for k, _ in self.kf_chain]
+        pres = [p for _, p in self.kf_chain]
+        # drop chain entries whose kf was culled
+        keep = [i for i, k in enumerate(kfs) if slam_map.kf_valid[k]]
+        if len(keep) < 4:
+            return False
+        # merge gaps over culled kfs
+        kfs2, pres2 = [kfs[keep[0]]], [pres[keep[0]]]
+        for prev, cur in zip(keep[:-1], keep[1:]):
+            p = pres[prev + 1]
+            for j in range(prev + 2, cur + 1):
+                p = merge(p, pres[j])
+            kfs2.append(kfs[cur])
+            pres2.append(p)
+        chain = InertialChain.from_preintegrated(pres2[1:])
+        R_bc = self.cfg.R_bc
+        t_bc = self.cfg.t_bc
+        # body rotations/positions from camera poses: T_bw = T_bc o T_cw
+        R_wb, p_wb = [], []
+        for k in kfs2:
+            R_cw = slam_map.kf_R[k]
+            t_cw = slam_map.kf_t[k]
+            R_bw = R_bc @ R_cw
+            t_bw = R_bc @ t_cw + t_bc
+            R_wb.append(R_bw.T)
+            p_wb.append(-R_bw.T @ t_bw)
+        R_wb = jnp.asarray(np.stack(R_wb).astype(np.float32))
+        p_wb = jnp.asarray(np.stack(p_wb).astype(np.float32))
+        v0 = jnp.zeros((len(kfs2), 3), jnp.float32)
+        fix_scale = self.stage >= 1  # scale solved once for mono
+        res = inertial_only_optimization(chain, R_wb, p_wb, v0, False, 40)
+        scale = float(res.scale)
+        if not np.isfinite(scale) or scale <= 1e-3:
+            return False
+        R_wg = np.asarray(res.R_wg)
+        # apply gravity alignment + scale to the whole map
+        # (reference: Map::ApplyScaledRotation include/Map.h:118 via
+        # InitializeIMU src/LocalMapping.cc:1283)
+        _apply_scaled_rotation(slam_map, R_wg.T, scale)
+        # velocities come out in the pre-alignment frame at true scale
+        v_new = np.asarray(res.v_w) @ R_wg  # rotate into aligned frame
+        for i, k in enumerate(kfs2):
+            slam_map.kf_vel[k] = v_new[i]
+        self.v_w = v_new[-1].astype(np.float32)
+        self.bias = ImuBias(res.bg, res.ba)
+        self.initialized = True
+        self.stage += 1
+        slam_map.imu_initialized = True
+        slam_map.n_inertial_ba = self.stage
+        # tracker pose state must follow the map transform
+        if tracker is not None and tracker.last is not None:
+            R_cw = np.asarray(tracker.last.T_cw.R) @ R_wg
+            t_cw = np.asarray(tracker.last.T_cw.t) * scale
+            tracker.last.T_cw = SE3(
+                jnp.asarray(R_cw.astype(np.float32)), jnp.asarray(t_cw.astype(np.float32))
+            )
+            tracker.velocity = None
+        return True
+
+
+def _apply_scaled_rotation(m, R_gw: np.ndarray, s: float):
+    """world' = s * R_gw world: rotate gravity to -z and fix mono scale.
+
+    Reference: Map::ApplyScaledRotation — updates all kf poses, velocities,
+    and point positions.
+    """
+    kfs = m.keyframe_indices(all_maps=True)
+    # T_cw' = T_cw \circ (s R_gw)^-1, SE3-stored with the [R t/s]-style fold:
+    # x_c = R_cw w + t_cw, w = R_gw^T w' / s
+    # => x_c = (1/s) R_cw R_gw^T w' + t_cw  ~ SE3(R_cw R_gw^T, s t_cw)
+    Rn = np.einsum("kij,lj->kil", m.kf_R[kfs], R_gw)
+    m.kf_R[kfs] = Rn
+    m.kf_t[kfs] = (s * m.kf_t[kfs]).astype(np.float32)
+    m.kf_vel[kfs] = (s * m.kf_vel[kfs] @ R_gw.T).astype(np.float32)
+    mps = m.point_indices(all_maps=True)
+    m.mp_pos[mps] = (s * m.mp_pos[mps] @ R_gw.T).astype(np.float32)

@@ -106,26 +106,36 @@ class Tracker:
         self.frame_id = 0
         self.frames_since_kf = 0
         self.lost_frames = 0
-        self.trajectory = []  # (ts, frame_id, T_cw 4x4) log
+        # trajectory log stores poses RELATIVE to the reference keyframe
+        # (reference: mlRelativeFramePoses, include/Tracking.h:154-157) so
+        # loop/GBA corrections apply retroactively at save time
+        self.trajectory = []  # (ts, fid, ref_kf, T_rel 4x4, T_abs 4x4)
         self.n_last_inliers = 0
         self.on_keyframe = None  # callback(kf_idx) -> local mapping hook
         # optional hook(feats, frame_id) -> (SE3, obs_mp) | None; wired by the
         # system facade to loop/relocalization (reference: Relocalization
         # src/Tracking.cc:3612 called from RECENTLY_LOST handling)
         self.relocalize_fn = None
+        # optional visual-inertial frontend (tracking/imu_frontend.py);
+        # set by the system facade for *-inertial sensor configs
+        self.imu = None
 
     # ------------------------------------------------------------------ API
-    def track(self, feats: Features, ts: float, depth=None) -> Optional[np.ndarray]:
+    def track(self, feats: Features, ts: float, depth=None, imu_samples=None) -> Optional[np.ndarray]:
         """Process one frame. Returns T_cw (4x4 numpy) or None while lost.
 
         depth: optional (F,) metric depth per feature (stereo / RGB-D paths;
         <=0 marks invalid). With depth, initialization is direct (reference:
         StereoInitialization src/Tracking.cc:2338) and new keyframes spawn
         close points from depth.
+        imu_samples: optional (acc (N,3), gyro (N,3), dts (N,)) measured
+        since the previous frame (reference: GrabImuData + PreintegrateIMU).
         """
         fid = self.frame_id
         self.frame_id += 1
         self._cur_depth = None if depth is None else np.asarray(depth)
+        if self.imu is not None and imu_samples is not None and len(imu_samples[2]):
+            self.imu.integrate_frame(*imu_samples)
         if self.state == NOT_INITIALIZED:
             if self._cur_depth is not None:
                 T = self._initialize_with_depth(feats, ts, fid)
@@ -136,9 +146,33 @@ class Tracker:
         else:  # LOST — handled by Atlas (new map); keep trying reloc-free
             T = None
         if T is not None:
-            self.trajectory.append((ts, fid, np.asarray(T.matrix())))
-            return np.asarray(T.matrix())
+            T_abs = np.asarray(T.matrix())
+            ref = self.ref_kf
+            if ref >= 0 and self.map.kf_valid[ref]:
+                T_kw = np.eye(4, dtype=np.float64)
+                T_kw[:3, :3] = self.map.kf_R[ref]
+                T_kw[:3, 3] = self.map.kf_t[ref]
+                T_rel = T_abs @ np.linalg.inv(T_kw)
+            else:
+                ref, T_rel = -1, T_abs
+            self.trajectory.append((ts, fid, ref, T_rel, T_abs))
+            return T_abs
         return None
+
+    def absolute_trajectory(self):
+        """Replay the relative-pose log against CURRENT keyframe poses
+        (reference: SaveTrajectoryTUM replays mlRelativeFramePoses,
+        src/System.cc:609-700). Returns [(ts, fid, T_cw 4x4)]."""
+        out = []
+        for ts, fid, ref, T_rel, T_abs in self.trajectory:
+            if ref >= 0 and self.map.kf_valid[ref]:
+                T_kw = np.eye(4, dtype=np.float64)
+                T_kw[:3, :3] = self.map.kf_R[ref]
+                T_kw[:3, 3] = self.map.kf_t[ref]
+                out.append((ts, fid, T_rel @ T_kw))
+            else:
+                out.append((ts, fid, T_abs))
+        return out
 
     # ----------------------------------------------------- initialization
     def _initialize(self, feats: Features, ts: float, fid: int):
@@ -288,9 +322,15 @@ class Tracker:
         m = self.map
         inv_s2_levels = cfg.inv_level_sigma2()
 
-        T_pred = (
-            self.velocity @ self.last.T_cw if self.velocity is not None else self.last.T_cw
-        )
+        T_pred = None
+        if self.imu is not None and self.imu.initialized:
+            T_pred = self.imu.predict_pose(self.last.T_cw)
+        if T_pred is None:
+            T_pred = (
+                self.velocity @ self.last.T_cw
+                if self.velocity is not None
+                else self.last.T_cw
+            )
         obs_mp = np.full(feats.capacity, NO_POINT, np.int32)
 
         ok_track = False
@@ -368,6 +408,8 @@ class Tracker:
         self.lost_frames = 0
 
         rec = FrameRecord(feats, T_cur, obs_mp, ts, fid, depth=self._cur_depth)
+        if self.imu is not None and self.last is not None:
+            self.imu.commit_frame_velocity(self.last.T_cw, T_cur, ts - self.last.ts)
         self._update_motion_model(rec)
         self.last = rec
         self.frames_since_kf += 1
@@ -565,6 +607,9 @@ class Tracker:
         m.kf_obs[k] = rec.obs_mp
         if rec.depth is not None:
             self._spawn_depth_points(k, rec)
+        if self.imu is not None:
+            self.imu.on_keyframe(k, rec.ts, m)
+            self.imu.maybe_initialize(m, self)
         self.ref_kf = k
         self.frames_since_kf = 0
         if self.on_keyframe is not None:

@@ -22,7 +22,7 @@ def loop_run():
     # ring layout: covisibility decays around the loop so the revisit is a
     # genuine place-recognition event, not continuous covisibility
     world = SyntheticFeatureWorld(
-        n_points=8000, spread=7.0, seed=7, feat_cap=768, noise_px=0.5,
+        n_points=12000, spread=10.0, seed=7, feat_cap=768, noise_px=0.5,
         layout="ring",
     )
     voc = build_vocabulary(world.desc[:4000], k=8, depth=3, seed=1)
@@ -38,14 +38,21 @@ def loop_run():
         closer.on_keyframe(k)
 
     tracker.on_keyframe = on_kf
-    est, gt = [], []
+    gt_all = {}
+    n_tracked = 0
     for i in range(n_frames):
         T_cw = SE3(T_all.R[i], T_all.t[i])
         feats, _ = world.observe(CAM, T_cw, max_feats=600)
         T = tracker.track(feats, ts=i * 0.05)
+        gt_all[i] = np.asarray(T_cw.inverse().t)
         if T is not None:
-            est.append((i, np.asarray(T)))
-            gt.append(np.asarray(T_cw.inverse().t))
+            n_tracked += 1
+    # corrected trajectory (relative-pose replay against final KF poses)
+    est, gt = [], []
+    for ts, fid, T in tracker.absolute_trajectory():
+        est.append((fid, T))
+        gt.append(gt_all[fid])
+    assert len(est) == n_tracked
     return tracker, slam_map, closer, est, np.array(gt)
 
 
