@@ -124,6 +124,59 @@ class InertialInitResult(NamedTuple):
     cost: jnp.ndarray  # () final cost
 
 
+def linear_inertial_init(chain: InertialChain, R_wb, p_w):
+    """Closed-form seed: with rotations fixed and biases ~0, the constraints
+    r_v = 0, r_p = 0 are LINEAR in x = [scale, g(3), v_1..v_K(3K)]:
+      s R_i^T (p_j - p_i) - R_i^T v_i dt - 0.5 R_i^T g dt^2 = dP
+      R_i^T (v_j - v_i) - R_i^T g dt = dV
+    (the Martinelli / VINS-Mono visual-inertial alignment). Solving this
+    least-squares system first keeps the nonlinear refinement out of the
+    scale-collapse local minimum that short keyframe chains exhibit.
+    """
+    K = R_wb.shape[0]
+    E = K - 1
+    RiT = jnp.swapaxes(R_wb[:-1], -1, -2)  # (E, 3, 3)
+    dp = p_w[1:] - p_w[:-1]
+    dt = chain.dT[:, None]
+    n_x = 4 + 3 * K
+    rows = []
+    rhs = []
+    Z = jnp.zeros((E, 3, 3))
+    I = jnp.broadcast_to(jnp.eye(3), (E, 3, 3))
+    # position rows
+    col_s = jnp.einsum("eij,ej->ei", RiT, dp)[..., None]  # (E, 3, 1)
+    col_g = -0.5 * RiT * (dt**2)[..., None]  # (E, 3, 3)
+    A_p = jnp.zeros((E, 3, n_x))
+    A_p = A_p.at[..., 0:1].set(col_s)
+    A_p = A_p.at[..., 1:4].set(col_g)
+    # v_i coefficient: -RiT*dt at block i
+    for e_axis in range(1):
+        pass
+    idx_i = jnp.arange(E)
+    # use scatter via one-hot over K blocks
+    onehot_i = (idx_i[:, None] == jnp.arange(K)[None, :]).astype(p_w.dtype)
+    onehot_j = ((idx_i + 1)[:, None] == jnp.arange(K)[None, :]).astype(p_w.dtype)
+    vi_coef = -RiT * dt[..., None]  # (E, 3, 3)
+    A_p_v = jnp.einsum("ek,eab->ekab", onehot_i, vi_coef)  # (E, K, 3, 3)
+    A_p = A_p.at[..., 4:].set(
+        A_p_v.transpose(0, 2, 1, 3).reshape(E, 3, 3 * K)
+    )
+    b_p = chain.dP
+    # velocity rows
+    A_v = jnp.zeros((E, 3, n_x))
+    A_v = A_v.at[..., 1:4].set(-RiT * dt[..., None])
+    Av_blocks = jnp.einsum("ek,eab->ekab", onehot_j - onehot_i, RiT)
+    A_v = A_v.at[..., 4:].set(Av_blocks.transpose(0, 2, 1, 3).reshape(E, 3, 3 * K))
+    b_v = chain.dV
+    A = jnp.concatenate([A_p.reshape(-1, n_x), A_v.reshape(-1, n_x)], axis=0)
+    b = jnp.concatenate([b_p.reshape(-1), b_v.reshape(-1)])
+    x, _, _, _ = jnp.linalg.lstsq(A, b)
+    s = x[0]
+    g = x[1:4]
+    v = x[4:].reshape(K, 3)
+    return s, g, v
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def inertial_only_optimization(
     chain: InertialChain,
@@ -172,8 +225,27 @@ def inertial_only_optimization(
         )
         return jnp.concatenate([rw.reshape(-1), pri])
 
+    # seed from the closed-form linear alignment (scale/gravity/velocities);
+    # the nonlinear problem has a scale-collapse local minimum for short
+    # chains that the linear solution avoids
+    s_lin, g_lin, v_lin = linear_inertial_init(chain, R_wb, p_w)
+    g_norm = jnp.linalg.norm(g_lin)
+    g_ok = (g_norm > 0.5 * GRAVITY) & (g_norm < 2.0 * GRAVITY) & (s_lin > 1e-3)
+    g_dir0 = jnp.where(g_ok, g_lin / jnp.maximum(g_norm, 1e-9), jnp.array([0.0, 0.0, -1.0]))
+    gI0 = jnp.array([0.0, 0.0, -1.0])
+    axis0 = jnp.cross(gI0, g_dir0)
+    na = jnp.linalg.norm(axis0)
+    ang0 = jnp.arctan2(na, jnp.clip(jnp.dot(gI0, g_dir0), -1.0, 1.0))
+    ab0 = jnp.where(na < 1e-9, jnp.zeros(3), axis0 / jnp.maximum(na, 1e-9) * ang0)[:2]
+    log_s0 = jnp.where(g_ok & ~jnp.asarray(fix_scale), jnp.log(jnp.maximum(s_lin, 1e-3)), 0.0)
+    v_seed = jnp.where(g_ok, v_lin, v0)
     theta0 = jnp.concatenate(
-        [jnp.zeros(9, jnp.float32), v0.reshape(-1).astype(jnp.float32)]
+        [
+            jnp.where(g_ok, ab0, jnp.zeros(2)),
+            log_s0[None],
+            jnp.zeros(6, jnp.float32),
+            v_seed.reshape(-1).astype(jnp.float32),
+        ]
     )
 
     def gn_step(_, carry):

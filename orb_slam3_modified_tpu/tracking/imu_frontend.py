@@ -134,15 +134,34 @@ class ImuFrontend:
         if self.first_kf_ts is None:
             self.first_kf_ts = ts
         if self.preint_kf is not None:
-            self.kf_chain.append((kf_idx, self.preint_kf))
+            self.kf_chain.append(
+                (kf_idx, int(slam_map.kf_frame_id[kf_idx]), self.preint_kf)
+            )
         self.preint_kf = None
         slam_map.kf_vel[kf_idx] = self.v_w
+
+    def on_initial_keyframes(self, k0: int, k1: int, ts0: float, ts1: float, slam_map):
+        """Register the monocular-init keyframe pair: the accumulated
+        preintegration covers exactly the k0->k1 gap (integration starts at
+        the first tracked frame)."""
+        self.first_kf_ts = ts0
+        self.kf_chain = [
+            (k0, int(slam_map.kf_frame_id[k0]), Preintegrated.identity(self.bias))
+        ]
+        if self.preint_kf is not None:
+            self.kf_chain.append(
+                (k1, int(slam_map.kf_frame_id[k1]), self.preint_kf)
+            )
+        self.preint_kf = None
+        slam_map.kf_vel[k0] = self.v_w
+        slam_map.kf_vel[k1] = self.v_w
 
     def maybe_initialize(self, slam_map, tracker) -> bool:
         """Staged IMU init on the keyframe chain (InitializeIMU analog)."""
         if self.first_kf_ts is None or len(self.kf_chain) < 4:
             return False
         last_ts = slam_map.kf_ts[self.kf_chain[-1][0]]
+        # (timestamp of the newest chain entry; slot reuse handled below)
         elapsed = last_ts - self.first_kf_ts
         if self.stage == 0 and elapsed < self.cfg.init_time:
             return False
@@ -153,10 +172,18 @@ class ImuFrontend:
         if self.stage >= 3:
             return False
 
-        kfs = [k for k, _ in self.kf_chain]
-        pres = [p for _, p in self.kf_chain]
-        # drop chain entries whose kf was culled
-        keep = [i for i, k in enumerate(kfs) if slam_map.kf_valid[k]]
+        kfs = [k for k, _, _ in self.kf_chain]
+        fids = [f for _, f, _ in self.kf_chain]
+        pres = [p for _, _, p in self.kf_chain]
+        # drop chain entries whose kf was culled — slot validity is not
+        # enough: free-listed slots get REUSED by newer keyframes, so the
+        # stored frame id must still match (otherwise intervals pair with
+        # the wrong poses and the init scale collapses)
+        keep = [
+            i
+            for i, (k, f) in enumerate(zip(kfs, fids))
+            if slam_map.kf_valid[k] and int(slam_map.kf_frame_id[k]) == f
+        ]
         if len(keep) < 4:
             return False
         # merge gaps over culled kfs
@@ -182,15 +209,26 @@ class ImuFrontend:
         R_wb = jnp.asarray(np.stack(R_wb).astype(np.float32))
         p_wb = jnp.asarray(np.stack(p_wb).astype(np.float32))
         v0 = jnp.zeros((len(kfs2), 3), jnp.float32)
-        fix_scale = self.stage >= 1  # scale solved once for mono
-        res = inertial_only_optimization(chain, R_wb, p_wb, v0, False, 40)
+        # scale is solved once; refinement stages keep the map metric
+        # (reference: VIBA1/VIBA2 run FullInertialBA with bFixScale for the
+        # already-initialized map)
+        fix_scale = self.stage >= 1
+        res = inertial_only_optimization(chain, R_wb, p_wb, v0, fix_scale, 40)
         scale = float(res.scale)
-        if not np.isfinite(scale) or scale <= 1e-3:
+        # sanity gates (reference: InitializeIMU rejects scale<1e-1 for mono
+        # and bad-IMU cases, src/LocalMapping.cc:1260 region); a gyro bias
+        # beyond ~0.1 rad/s is unphysical for consumer IMUs -> bad solve
+        if not np.isfinite(scale) or scale <= 1e-2 or scale > 1e3:
+            return False
+        if float(jnp.linalg.norm(res.bg)) > 0.1:
             return False
         R_wg = np.asarray(res.R_wg)
         # apply gravity alignment + scale to the whole map
         # (reference: Map::ApplyScaledRotation include/Map.h:118 via
-        # InitializeIMU src/LocalMapping.cc:1283)
+        # InitializeIMU src/LocalMapping.cc:1283). Refinement stages apply
+        # only if meaningfully different (reference: |s-1| > 0.002 gate).
+        if fix_scale:
+            scale = 1.0
         _apply_scaled_rotation(slam_map, R_wg.T, scale)
         # velocities come out in the pre-alignment frame at true scale
         v_new = np.asarray(res.v_w) @ R_wg  # rotate into aligned frame

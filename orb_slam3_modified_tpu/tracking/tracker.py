@@ -182,6 +182,8 @@ class Tracker:
                 self.init_frame = FrameRecord(
                     feats, SE3.identity(), np.full(feats.capacity, NO_POINT, np.int32), ts, fid
                 )
+                if self.imu is not None:
+                    self.imu.preint_kf = None  # preint spans init pair only
             return None
         f0 = self.init_frame.features
         idx, ok, _ = search_for_initialization(
@@ -194,6 +196,8 @@ class Tracker:
             self.init_frame = FrameRecord(
                 feats, SE3.identity(), np.full(feats.capacity, NO_POINT, np.int32), ts, fid
             ) if n_valid >= self.cfg.min_matches_init else None
+            if self.imu is not None:
+                self.imu.preint_kf = None
             return None
         # unit-plane coords of the matched pairs
         cam = self.cfg.cam
@@ -303,6 +307,9 @@ class Tracker:
         self.state = OK
         self.frames_since_kf = 0
         self.velocity = None
+        if self.imu is not None:
+            # register the two initial keyframes with the inertial chain
+            self.imu.on_initial_keyframes(k0, k1, self.init_frame.ts, ts, m)
         if self.on_keyframe is not None:
             self.on_keyframe(k0)
             self.on_keyframe(k1)
