@@ -34,6 +34,8 @@ def main():
     from orb_slam3_modified_tpu.utils.synthetic import orbit_trajectory
     from orb_slam3_modified_tpu.utils.synthetic_features import SyntheticFeatureWorld
 
+    from orb_slam3_modified_tpu.tracking.fused import FusedTracker
+
     cam = Camera.pinhole(458.654, 457.296, 367.215, 248.375, width=752, height=480)
     n_frames = 120
     world = SyntheticFeatureWorld(
@@ -45,6 +47,7 @@ def main():
     tracker = Tracker(tcfg, slam_map)
     mapper = LocalMapper(LocalMapperConfig(), tcfg, slam_map)
     tracker.on_keyframe = mapper.on_keyframe
+    fused = FusedTracker(tracker, lag=3)
 
     # pre-render features so the bench times SLAM, not the synthetic world
     frames = []
@@ -57,16 +60,17 @@ def main():
     # warmup: first frames trigger all compiles
     n_warm = 12
     for i in range(n_warm):
-        tracker.track(frames[i], ts=i * 0.05)
+        fused.track(frames[i], ts=i * 0.05)
 
     t0 = time.perf_counter()
-    tracked = 0
     for i in range(n_warm, n_frames):
-        T = tracker.track(frames[i], ts=i * 0.05)
-        if T is not None:
-            tracked += 1
+        fused.track(frames[i], ts=i * 0.05)
+    fused.flush()
     dt = time.perf_counter() - t0
     fps = (n_frames - n_warm) / dt
+    tracked = sum(
+        1 for ts, fid, T in tracker.absolute_trajectory() if fid >= n_warm
+    )
 
     baseline_fps = 20.0
     print(

@@ -268,9 +268,12 @@ class FusedTracker:
             T_kw = np.eye(4)
             T_kw[:3, :3] = t.map.kf_R[ref]
             T_kw[:3, 3] = t.map.kf_t[ref]
-            t.trajectory.append((ts, fid, ref, T_abs @ np.linalg.inv(T_kw), T_abs))
+            t.trajectory.append(
+                (ts, fid, ref, int(t.map.kf_frame_id[ref]),
+                 T_abs @ np.linalg.inv(T_kw), T_abs)
+            )
         else:
-            t.trajectory.append((ts, fid, -1, T_abs, T_abs))
+            t.trajectory.append((ts, fid, -1, -1, T_abs, T_abs))
         if t._need_new_keyframe(n_inl):
             T_pre = np.eye(4)
             T_pre[:3, :3] = np.asarray(rec.T_cw.R)

@@ -109,7 +109,7 @@ class Tracker:
         # trajectory log stores poses RELATIVE to the reference keyframe
         # (reference: mlRelativeFramePoses, include/Tracking.h:154-157) so
         # loop/GBA corrections apply retroactively at save time
-        self.trajectory = []  # (ts, fid, ref_kf, T_rel 4x4, T_abs 4x4)
+        self.trajectory = []  # (ts, fid, ref_kf, ref_frame_id, T_rel, T_abs)
         self.n_last_inliers = 0
         self.on_keyframe = None  # callback(kf_idx) -> local mapping hook
         # optional hook(feats, frame_id) -> (SE3, obs_mp) | None; wired by the
@@ -153,9 +153,10 @@ class Tracker:
                 T_kw[:3, :3] = self.map.kf_R[ref]
                 T_kw[:3, 3] = self.map.kf_t[ref]
                 T_rel = T_abs @ np.linalg.inv(T_kw)
+                ref_fid = int(self.map.kf_frame_id[ref])
             else:
-                ref, T_rel = -1, T_abs
-            self.trajectory.append((ts, fid, ref, T_rel, T_abs))
+                ref, ref_fid, T_rel = -1, -1, T_abs
+            self.trajectory.append((ts, fid, ref, ref_fid, T_rel, T_abs))
             return T_abs
         return None
 
@@ -164,8 +165,14 @@ class Tracker:
         (reference: SaveTrajectoryTUM replays mlRelativeFramePoses,
         src/System.cc:609-700). Returns [(ts, fid, T_cw 4x4)]."""
         out = []
-        for ts, fid, ref, T_rel, T_abs in self.trajectory:
-            if ref >= 0 and self.map.kf_valid[ref]:
+        for ts, fid, ref, ref_fid, T_rel, T_abs in self.trajectory:
+            # the reference kf must still be alive AND be the same keyframe
+            # (free-listed slots get reused by later keyframes)
+            if (
+                ref >= 0
+                and self.map.kf_valid[ref]
+                and int(self.map.kf_frame_id[ref]) == ref_fid
+            ):
                 T_kw = np.eye(4, dtype=np.float64)
                 T_kw[:3, :3] = self.map.kf_R[ref]
                 T_kw[:3, 3] = self.map.kf_t[ref]
