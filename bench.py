@@ -36,6 +36,8 @@ def main():
 
     from orb_slam3_modified_tpu.tracking.fused import FusedTracker
 
+    from orb_slam3_modified_tpu.mapping.async_mapper import AsyncLocalMapper
+
     cam = Camera.pinhole(458.654, 457.296, 367.215, 248.375, width=752, height=480)
     n_frames = 120
     world = SyntheticFeatureWorld(
@@ -46,8 +48,9 @@ def main():
     tcfg = TrackerConfig(cam=cam)
     tracker = Tracker(tcfg, slam_map)
     mapper = LocalMapper(LocalMapperConfig(), tcfg, slam_map)
-    tracker.on_keyframe = mapper.on_keyframe
-    fused = FusedTracker(tracker, lag=3)
+    async_mapper = AsyncLocalMapper(mapper)
+    tracker.on_keyframe = async_mapper.on_keyframe
+    fused = FusedTracker(tracker, lag=3, map_lock=async_mapper.lock)
 
     # pre-render features so the bench times SLAM, not the synthetic world
     frames = []
@@ -67,6 +70,8 @@ def main():
         fused.track(frames[i], ts=i * 0.05)
     fused.flush()
     dt = time.perf_counter() - t0
+    async_mapper.flush()
+    async_mapper.shutdown()
     fps = (n_frames - n_warm) / dt
     tracked = sum(
         1 for ts, fid, T in tracker.absolute_trajectory() if fid >= n_warm

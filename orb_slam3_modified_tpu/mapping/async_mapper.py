@@ -1,0 +1,62 @@
+"""Asynchronous local-mapping driver.
+
+The reference runs LocalMapping on its own thread consuming a keyframe
+queue (reference: src/System.cc:197 thread launch, LocalMapping::Run
+src/LocalMapping.cc:64 polling mlNewKeyFrames). This wrapper restores that
+pipeline overlap for the TPU build: keyframe processing (triangulation,
+fusion, local BA — seconds of device dispatches + readbacks on a tunneled
+TPU) runs on a worker thread while the fused tracking loop keeps streaming
+frames against the current map cache.
+
+Synchronization: a single map lock serializes map mutation (worker) against
+the tracker's host-side reads/writes — the moral equivalent of the
+reference's Map::mMutexMapUpdate (src/Tracking.cc:1888), but scoped to
+keyframe-rate events instead of every frame.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+
+from .local_mapper import LocalMapper
+
+
+class AsyncLocalMapper:
+    def __init__(self, mapper: LocalMapper, map_lock: threading.Lock | None = None):
+        self.mapper = mapper
+        self.lock = map_lock or threading.Lock()
+        self.queue: queue.Queue = queue.Queue()
+        self._stop = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        self.processed = 0
+        self.errors: list = []
+
+    def on_keyframe(self, k: int):
+        """Tracker-side hook: enqueue and return immediately."""
+        self.queue.put(int(k))
+
+    def _run(self):
+        while not self._stop:
+            try:
+                k = self.queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            try:
+                with self.lock:
+                    self.mapper.on_keyframe(k)
+                self.processed += 1
+            except Exception as e:  # surface in flush(); don't kill the thread
+                self.errors.append((k, repr(e)))
+            finally:
+                self.queue.task_done()
+
+    def flush(self, timeout: float = 120.0):
+        """Block until the queue drains (end of sequence / tests)."""
+        self.queue.join()
+        if self.errors:
+            raise RuntimeError(f"async mapper errors: {self.errors}")
+
+    def shutdown(self):
+        self._stop = True
+        self._worker.join(timeout=5.0)

@@ -141,12 +141,15 @@ class FusedTracker:
     decisions (with a configurable readback lag).
     """
 
-    def __init__(self, tracker, lag: int = 2):
+    def __init__(self, tracker, lag: int = 2, map_lock=None):
+        import threading
+
         from .tracker import OK
 
         self.tracker = tracker
         self.cfg = tracker.cfg
         self.lag = lag
+        self.map_lock = map_lock or threading.Lock()
         self._pending = []  # (fid, ts, feats, out, cache_ids)
         self.state: DeviceTrackState | None = None
         self.cache: MapCache | None = None
@@ -197,11 +200,13 @@ class FusedTracker:
 
         t = self.tracker
         if t.state != OK or t.ref_kf < 0:
-            # slow path (init / reloc / recovery)
-            out = t.track(feats, ts)
-            if t.state == OK:
-                self.refresh_cache()
-                self._sync_state_from_tracker()
+            # slow path (init / reloc / recovery) — mutates the map from
+            # this thread, so serialize against the async mapper
+            with self.map_lock:
+                out = t.track(feats, ts)
+                if t.state == OK:
+                    self.refresh_cache()
+                    self._sync_state_from_tracker()
             return out
         if self.cache is None or self.state is None:
             self.refresh_cache()
@@ -234,11 +239,17 @@ class FusedTracker:
         return outs
 
     def _retire(self, fid, ts, feats, out, cache_ids):
-        """Read back one frame's result; run keyframe policy on the host."""
+        """Read back one frame's result; run keyframe policy on the host.
+        Holds the map lock across map reads/writes (the async mapper mutates
+        the arena from its worker thread)."""
         from ..slam_map.map_state import NO_POINT
         from .tracker import RECENTLY_LOST, FrameRecord
 
         t = self.tracker
+        with self.map_lock:
+            return self._retire_locked(fid, ts, feats, out, cache_ids, t, NO_POINT, RECENTLY_LOST, FrameRecord)
+
+    def _retire_locked(self, fid, ts, feats, out, cache_ids, t, NO_POINT, RECENTLY_LOST, FrameRecord):
         n_inl = int(out.n_inliers)
         R = np.asarray(out.R)
         tt = np.asarray(out.t)
