@@ -204,6 +204,7 @@ class LocalMapper:
             ok_np = np.array(ok)
             idx_np = np.asarray(idx)
             ok_np[n_c:] = False
+            counts = m.obs_count_per_point()  # once per neighbor, not per match
             for i in np.flatnonzero(ok_np):
                 mp_src = int(mps_k[c_sel[i]])
                 tgt_slot = int(idx_np[i])
@@ -214,7 +215,6 @@ class LocalMapper:
                     m.kf_obs[kn, tgt_slot] = mp_src
                 elif mp_tgt != mp_src and m.mp_valid[mp_tgt]:
                     # keep the one with more observations
-                    counts = m.obs_count_per_point()
                     if counts[mp_tgt] >= counts[mp_src]:
                         m.replace_point(mp_src, mp_tgt)
                     else:

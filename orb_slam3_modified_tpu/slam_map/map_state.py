@@ -275,9 +275,30 @@ class MapState:
 
         Reference: MapPoint::UpdateNormalAndDepth (include/MapPoint.h:148) and
         ComputeDistinctiveDescriptors (:144 — min-median-Hamming).
+
+        Vectorized: the observation table is inverted ONCE (single arena
+        scan + argsort) instead of a full (K, F) scan per point.
         """
-        for m in np.atleast_1d(mp_idx):
-            ks, slots = self._observers_slots(m)
+        mp_idx = np.atleast_1d(mp_idx)
+        if len(mp_idx) == 0:
+            return
+        # invert obs table once: for each target point, its (kf, slot) list
+        want = np.zeros(self.mp_valid.shape[0], bool)
+        want[mp_idx] = True
+        ks_all, slots_all = np.nonzero(
+            (self.kf_obs != NO_POINT)
+            & self.kf_valid[:, None]
+            & want[np.clip(self.kf_obs, 0, None)]
+        )
+        mps_all = self.kf_obs[ks_all, slots_all]
+        order = np.argsort(mps_all, kind="stable")
+        mps_s = mps_all[order]
+        ks_s = ks_all[order]
+        slots_s = slots_all[order]
+        bounds = np.searchsorted(mps_s, mp_idx)
+        bounds_hi = np.searchsorted(mps_s, mp_idx, side="right")
+        for m, lo, hi in zip(mp_idx, bounds, bounds_hi):
+            ks, slots = ks_s[lo:hi], slots_s[lo:hi]
             if len(ks) == 0:
                 continue
             centers = -np.einsum("kji,kj->ki", self.kf_R[ks], self.kf_t[ks])

@@ -246,10 +246,13 @@ class FusedTracker:
         from .tracker import RECENTLY_LOST, FrameRecord
 
         t = self.tracker
-        with self.map_lock:
-            return self._retire_locked(fid, ts, feats, out, cache_ids, t, NO_POINT, RECENTLY_LOST, FrameRecord)
+        # lock-free fast path: per-frame retire only does brief element reads
+        # and counter bumps (torn reads are benign, mirroring the reference's
+        # snapshot-style tracker reads); only keyframe creation, which
+        # structurally mutates the arena, takes the map lock below.
+        return self._retire_impl(fid, ts, feats, out, cache_ids, t, NO_POINT, RECENTLY_LOST, FrameRecord)
 
-    def _retire_locked(self, fid, ts, feats, out, cache_ids, t, NO_POINT, RECENTLY_LOST, FrameRecord):
+    def _retire_impl(self, fid, ts, feats, out, cache_ids, t, NO_POINT, RECENTLY_LOST, FrameRecord):
         n_inl = int(out.n_inliers)
         R = np.asarray(out.R)
         tt = np.asarray(out.t)
@@ -289,7 +292,8 @@ class FusedTracker:
             T_pre = np.eye(4)
             T_pre[:3, :3] = np.asarray(rec.T_cw.R)
             T_pre[:3, 3] = np.asarray(rec.T_cw.t)
-            t._create_keyframe(rec)
+            with self.map_lock:
+                t._create_keyframe(rec)
             # local BA just moved the new keyframe: propagate the world
             # correction W = T_pre^-1 T_post into the device-resident pose
             # (otherwise the pipeline drifts away from the optimized map)
