@@ -50,6 +50,7 @@ def main():
     mapper = LocalMapper(LocalMapperConfig(), tcfg, slam_map)
     async_mapper = AsyncLocalMapper(mapper)
     tracker.on_keyframe = async_mapper.on_keyframe
+    tracker.mapper_busy_fn = async_mapper.busy
     fused = FusedTracker(tracker, lag=3, map_lock=async_mapper.lock)
 
     # pre-render features so the bench times SLAM, not the synthetic world

@@ -36,6 +36,9 @@ class AsyncLocalMapper:
         """Tracker-side hook: enqueue and return immediately."""
         self.queue.put(int(k))
 
+    def busy(self) -> bool:
+        return not self.queue.empty() or self.queue.unfinished_tasks > 0
+
     def _run(self):
         while not self._stop:
             try:

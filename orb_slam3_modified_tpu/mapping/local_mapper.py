@@ -61,45 +61,61 @@ class LocalMapper:
     # ------------------------------------------------------- triangulation
     def _create_new_points(self, k: int):
         """Epipolar-search triangulation against covisible keyframes
-        (reference: CreateNewMapPoints src/LocalMapping.cc:388)."""
+        (reference: CreateNewMapPoints src/LocalMapping.cc:388).
+
+        TPU batching: matching against ALL neighbors runs as one vmapped
+        dispatch + one readback (the sequential per-neighbor version costs
+        ~4 host<->device round trips per neighbor)."""
         m = self.map
         cfg = self.cfg
         cam = self.tcfg.cam
-        neighbors = m.best_covisible(k, cfg.n_triangulation_neighbors, min_weight=10)
+        neighbors = [
+            int(x)
+            for x in m.best_covisible(k, cfg.n_triangulation_neighbors, min_weight=10)
+        ]
         if len(neighbors) == 0:
             return np.empty(0, np.int64)
         F = m.kf_uv.shape[1]
         free_k = m.kf_feat_valid[k] & (m.kf_obs[k] == NO_POINT)
         T_k = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
-        center_k = np.asarray(T_k.inverse().t)
+        center_k = -m.kf_R[k].T @ m.kf_t[k]
         created = []
         inv_s2 = self.tcfg.inv_level_sigma2()
-        for kn in neighbors:
-            kn = int(kn)
+
+        # ---- batched neighbor matching (pad to fixed NB) ----
+        NB = 8
+        neighbors = neighbors[:NB]
+        nb_real = len(neighbors)
+        masks = np.zeros((NB, F, F), bool)
+        desc_n = np.zeros((NB, F, 8), np.uint32)
+        valid_n = np.zeros((NB, F), bool)
+        use = []
+        for j, kn in enumerate(neighbors):
+            center_n = -m.kf_R[kn].T @ m.kf_t[kn]
+            if np.linalg.norm(center_k - center_n) < 0.01:
+                continue  # reference gate: tiny baseline
             T_n = SE3(jnp.asarray(m.kf_R[kn]), jnp.asarray(m.kf_t[kn]))
-            center_n = np.asarray(T_n.inverse().t)
-            baseline = np.linalg.norm(center_k - center_n)
-            # reference gate: baseline vs median scene depth (mono)
-            if baseline < 0.01:
-                continue
-            free_n = m.kf_feat_valid[kn] & (m.kf_obs[kn] == NO_POINT)
-            # epipolar constraint mask from relative pose
-            ep_mask = _epipolar_mask(
-                cam, m.kf_uv[k], m.kf_uv[kn], m.kf_level[kn],
-                T_k, T_n, inv_s2,
+            masks[j] = np.asarray(
+                _epipolar_mask(cam, m.kf_uv[k], m.kf_uv[kn], m.kf_level[kn], T_k, T_n, inv_s2)
             )
-            idx, ok, dist = mutual_best_match(
-                jnp.asarray(m.kf_desc[k]),
-                jnp.asarray(free_k),
-                jnp.asarray(m.kf_desc[kn]),
-                jnp.asarray(free_n),
-                max_dist=TH_LOW,
-                ratio=0.8,
-                extra_mask=ep_mask,
-            )
-            keep = resolve_duplicate_targets(idx, ok, dist, F)
-            keep_np = np.asarray(keep)
-            idx_np = np.asarray(idx)
+            desc_n[j] = m.kf_desc[kn]
+            valid_n[j] = m.kf_feat_valid[kn] & (m.kf_obs[kn] == NO_POINT)
+            use.append(j)
+        if not use:
+            return np.empty(0, np.int64)
+        idx_all, keep_all = _batched_neighbor_match(
+            jnp.asarray(m.kf_desc[k]), jnp.asarray(free_k),
+            jnp.asarray(desc_n), jnp.asarray(valid_n), jnp.asarray(masks),
+        )
+        idx_all = np.asarray(idx_all)
+        keep_all = np.array(keep_all)
+
+        for j in use:
+            kn = neighbors[j]
+            T_n = SE3(jnp.asarray(m.kf_R[kn]), jnp.asarray(m.kf_t[kn]))
+            center_n = -m.kf_R[kn].T @ m.kf_t[kn]
+            keep_np = keep_all[j] & free_k  # features may be claimed by an
+            idx_np = idx_all[j]             # earlier neighbor this round
             if keep_np.sum() == 0:
                 continue
             sel = np.flatnonzero(keep_np)
@@ -171,40 +187,50 @@ class LocalMapper:
         src/ORBmatcher.cc:1148). Simplified to first-order neighbors."""
         m = self.map
         cam = self.tcfg.cam
-        neighbors = m.best_covisible(k, self.cfg.n_triangulation_neighbors, min_weight=10)
+        neighbors = [
+            int(x)
+            for x in m.best_covisible(
+                k, self.cfg.n_triangulation_neighbors, min_weight=10
+            )
+        ][:8]
         slots_k, mps_k = m.observations_of_kf(k)
-        if len(mps_k) == 0:
+        if len(mps_k) == 0 or len(neighbors) == 0:
             return
-        for kn in neighbors:
-            kn = int(kn)
-            pc = m.mp_pos[mps_k] @ m.kf_R[kn].T + m.kf_t[kn]
+        F = m.kf_uv.shape[1]
+        NB = 8
+        n_c = min(len(mps_k), F)
+        c_sel = np.arange(n_c)
+        desc_p = _pad1(m.mp_desc[mps_k[:n_c]], F)
+        # batched: project the candidate set into every neighbor (numpy),
+        # then ONE vmapped match dispatch across neighbors
+        masks = np.zeros((NB, F, F), bool)
+        desc_n = np.zeros((NB, F, 8), np.uint32)
+        valid_n = np.zeros((NB, F), bool)
+        val_p_nb = np.zeros((NB, F), bool)
+        for j, kn in enumerate(neighbors):
+            pc = m.mp_pos[mps_k[:n_c]] @ m.kf_R[kn].T + m.kf_t[kn]
             uv = project_np(cam, pc)
             visible = (
                 (pc[:, 2] > 0.05)
                 & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
                 & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
             )
-            if visible.sum() == 0:
-                continue
-            F = m.kf_uv.shape[1]
-            cap = F
-            n_c = min(int(visible.sum()), cap)
-            c_sel = np.flatnonzero(visible)[:n_c]
-            uv_p = _pad1(uv[c_sel], cap)
-            desc_p = _pad1(m.mp_desc[mps_k[c_sel]], cap)
-            val_p = np.zeros(cap, bool)
-            val_p[:n_c] = True
-            d2 = (uv_p[:, None, :] - m.kf_uv[kn][None]) ** 2
-            window = (d2.sum(-1) < 9.0)  # 3px fuse radius
-            idx, ok, dist = mutual_best_match(
-                jnp.asarray(desc_p), jnp.asarray(val_p),
-                jnp.asarray(m.kf_desc[kn]), jnp.asarray(m.kf_feat_valid[kn]),
-                max_dist=TH_LOW, extra_mask=jnp.asarray(window),
-            )
-            ok_np = np.array(ok)
-            idx_np = np.asarray(idx)
+            val_p_nb[j, :n_c] = visible
+            d2 = (_pad1(uv, F)[:, None, :] - m.kf_uv[kn][None]) ** 2
+            masks[j] = d2.sum(-1) < 9.0  # 3px fuse radius
+            desc_n[j] = m.kf_desc[kn]
+            valid_n[j] = m.kf_feat_valid[kn]
+        idx_all, ok_all = _batched_fuse_match(
+            jnp.asarray(desc_p), jnp.asarray(val_p_nb),
+            jnp.asarray(desc_n), jnp.asarray(valid_n), jnp.asarray(masks),
+        )
+        idx_all = np.asarray(idx_all)
+        ok_all = np.array(ok_all)
+        counts = m.obs_count_per_point()  # once, not per match
+        for j, kn in enumerate(neighbors):
+            ok_np = ok_all[j]
             ok_np[n_c:] = False
-            counts = m.obs_count_per_point()  # once per neighbor, not per match
+            idx_np = idx_all[j]
             for i in np.flatnonzero(ok_np):
                 mp_src = int(mps_k[c_sel[i]])
                 tgt_slot = int(idx_np[i])
@@ -296,6 +322,41 @@ class LocalMapper:
             redundant = (counts[mps] >= self.cfg.cull_min_obs + 1).mean()
             if redundant > self.cfg.kf_cull_redundancy:
                 m.remove_keyframe(kc)
+
+
+@jax.jit
+def _batched_neighbor_match(desc_k, free_k, desc_n, valid_n, masks):
+    """Match kf-k features against NB neighbor keyframes in one dispatch.
+
+    desc_n: (NB, F, 8); valid_n: (NB, F); masks: (NB, F, F).
+    Returns idx (NB, F), keep (NB, F).
+    """
+    F = desc_k.shape[0]
+
+    def one(dn, vn, mask):
+        idx, ok, dist = mutual_best_match(
+            desc_k, free_k, dn, vn, max_dist=TH_LOW, ratio=0.8, extra_mask=mask
+        )
+        keep = resolve_duplicate_targets(idx, ok, dist, F)
+        return idx, keep
+
+    return jax.vmap(one)(desc_n, valid_n, masks)
+
+
+@jax.jit
+def _batched_fuse_match(desc_p, val_p_nb, desc_n, valid_n, masks):
+    """Fuse matching against NB neighbors in one dispatch.
+
+    desc_p: (F, 8) candidate point descriptors (shared across neighbors);
+    val_p_nb: (NB, F) per-neighbor candidate visibility.
+    """
+    def one(vp, dn, vn, mask):
+        idx, ok, dist = mutual_best_match(
+            desc_p, vp, dn, vn, max_dist=TH_LOW, extra_mask=mask
+        )
+        return idx, ok
+
+    return jax.vmap(one)(val_p_nb, desc_n, valid_n, masks)
 
 
 def _epipolar_mask(cam, uv1, uv2, level2, T_1w: SE3, T_2w: SE3, inv_s2):

@@ -119,6 +119,9 @@ class Tracker:
         # optional visual-inertial frontend (tracking/imu_frontend.py);
         # set by the system facade for *-inertial sensor configs
         self.imu = None
+        # optional () -> bool: local mapper busy? (reference NeedNewKeyFrame
+        # checks bLocalMappingIdle, src/Tracking.cc:3099)
+        self.mapper_busy_fn = None
 
     # ------------------------------------------------------------------ API
     def track(self, feats: Features, ts: float, depth=None, imu_samples=None) -> Optional[np.ndarray]:
@@ -602,7 +605,12 @@ class Tracker:
         n_ref = len(m.observations_of_kf(self.ref_kf)[0])
         c1 = self.frames_since_kf >= self.cfg.max_frames_between_kf
         c2 = n_inl < self.cfg.kf_tracked_ratio * max(n_ref, 1)
-        return (c1 or c2) and n_inl >= 15
+        if self.mapper_busy_fn is not None and self.mapper_busy_fn():
+            # async mapper still digesting: only force a keyframe when
+            # tracking is about to starve (reference behavior: interrupt BA
+            # only for c1-type urgency)
+            c2 = c2 and n_inl < 0.25 * max(n_ref, 1)
+        return (c1 or c2) and n_inl >= 15 and self.frames_since_kf >= 3
 
     def _create_keyframe(self, rec: FrameRecord):
         """Reference: CreateNewKeyFrame (src/Tracking.cc:3219)."""
