@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..ops.brief import brief_descriptors
 from ..ops.fast import fast_score_map, nonmax_3x3
-from ..ops.image import build_pyramid, gaussian_blur, pyramid_shapes
+from ..ops.image import build_pyramid, gaussian_blur
 from ..ops.orientation import ic_angles
 from ..ops.select import cell_topk, global_topk
 

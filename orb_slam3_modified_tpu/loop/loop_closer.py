@@ -25,8 +25,7 @@ import numpy as np
 
 from ..bow.kfdb import KeyFrameDatabase
 from ..bow.vocabulary import Vocabulary
-from ..features.matcher import TH_LOW, mutual_best_match, resolve_duplicate_targets
-from ..lie.se3 import SE3
+from ..features.matcher import TH_LOW, mutual_best_match
 from ..lie.sim3 import Sim3
 from ..optim.ba import bundle_adjust
 from ..optim.pose_graph import PoseGraphProblem, optimize_pose_graph

@@ -11,7 +11,6 @@ static, so XLA compiles one program per level size).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..imu.preintegration import GRAVITY, ImuBias, Preintegrated
+from ..imu.preintegration import GRAVITY
 from ..lie import so3
 
 

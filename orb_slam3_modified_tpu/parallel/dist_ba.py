@@ -23,13 +23,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..cameras import Camera
 from ..lie import se3, so3
 from ..lie.se3 import SE3
 from ..optim.ba import BAProblem, _obs_residuals
-from ..optim.robust import CHI2_MONO, DELTA_MONO, huber_weight
+from ..optim.robust import DELTA_MONO, huber_weight
 
 
 def _round_up(n, q):

@@ -31,8 +31,6 @@ def main(argv=None):
     p.add_argument("--no-loop", action="store_true")
     args = p.parse_args(argv)
 
-    import jax
-
     from .cameras import Camera
     from .features.extractor import ExtractorConfig, extract
     from .io.datasets import EurocDataset, KittiDataset, TumDataset

@@ -23,7 +23,7 @@ from ..features.extractor import ExtractorConfig, Features, extract
 from ..loop.loop_closer import LoopCloser, LoopCloserConfig
 from ..mapping.local_mapper import LocalMapper, LocalMapperConfig
 from ..slam_map.map_state import MapState
-from ..tracking.tracker import LOST, NOT_INITIALIZED, OK, Tracker, TrackerConfig
+from ..tracking.tracker import LOST, NOT_INITIALIZED, Tracker, TrackerConfig
 from ..utils.timing import TimeStats
 
 MONOCULAR = 0

@@ -20,7 +20,6 @@ relocalization and keyframe bookkeeping stay in tracking/tracker.py.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -30,8 +29,7 @@ import numpy as np
 from ..cameras import Camera, project
 from ..features.matcher import TH_HIGH, mutual_best_match, resolve_duplicate_targets
 from ..lie.se3 import SE3
-from ..optim.pose_opt import _residuals_and_jac, pose_optimization
-from ..optim.robust import CHI2_MONO, DELTA_MONO, huber_weight
+from ..optim.pose_opt import pose_optimization
 
 CACHE_CAP = 4096  # device-resident local-map point budget
 

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..imu.preintegration import (
-    GRAVITY,
     ImuBias,
     Preintegrated,
     integrate,

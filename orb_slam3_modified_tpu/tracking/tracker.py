@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..cameras import Camera, project, project_np, unproject, unproject_np
-from ..features.extractor import ExtractorConfig, Features
+from ..cameras import Camera, project_np, unproject, unproject_np
+from ..features.extractor import Features
 from ..features.matcher import (
     TH_HIGH,
     TH_LOW,
@@ -35,7 +35,6 @@ from ..features.matcher import (
     search_for_initialization,
 )
 from ..geom import reconstruct_two_views
-from ..lie import se3, so3
 from ..lie.se3 import SE3
 from ..optim.ba import BAProblem, bundle_adjust
 from ..optim.pose_opt import pose_optimization

@@ -10,7 +10,6 @@ from typing import NamedTuple
 
 import numpy as np
 
-from ..lie import se3
 from ..lie.se3 import SE3
 
 

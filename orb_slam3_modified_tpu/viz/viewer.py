@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..slam_map.map_state import NO_POINT, MapState
+from ..slam_map.map_state import MapState
 
 
 def keyframe_centers(m: MapState, all_maps=False):
