@@ -22,9 +22,10 @@ from .local_mapper import LocalMapper
 
 
 class AsyncLocalMapper:
-    def __init__(self, mapper: LocalMapper, map_lock: threading.Lock | None = None):
+    def __init__(self, mapper: LocalMapper, map_lock=None):
         self.mapper = mapper
-        self.lock = map_lock or threading.Lock()
+        self.lock = map_lock or threading.RLock()
+        mapper.lock = self.lock  # fine-grained phase locking inside
         self.queue: queue.Queue = queue.Queue()
         self._stop = False
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -46,8 +47,7 @@ class AsyncLocalMapper:
             except queue.Empty:
                 continue
             try:
-                with self.lock:
-                    self.mapper.on_keyframe(k)
+                self.mapper.on_keyframe(k)  # locks its phases internally
                 self.processed += 1
             except Exception as e:  # surface in flush(); don't kill the thread
                 self.errors.append((k, repr(e)))

@@ -38,25 +38,33 @@ class LocalMapperConfig:
 
 class LocalMapper:
     def __init__(self, cfg: LocalMapperConfig, tracker_cfg: TrackerConfig, slam_map: MapState):
+        import contextlib
+
         self.cfg = cfg
         self.tcfg = tracker_cfg
         self.map = slam_map
         self.recent_points: list = []  # (mp_idx array, birth_kf) for culling
+        # injected by AsyncLocalMapper: mutation phases lock; long device
+        # solves run unlocked so the tracker's keyframe creation never waits
+        # behind a full mapping cycle
+        self.lock = contextlib.nullcontext()
 
     def on_keyframe(self, k: int):
         m = self.map
         if m.n_keyframes() < 2:
             return
-        slots, mps = m.observations_of_kf(k)
-        m.update_point_stats(mps, self.tcfg.scale_factors())
-        self._cull_recent_points(k)
-        new_pts = self._create_new_points(k)
-        if len(new_pts):
-            self.recent_points.append((new_pts, k))
-        self._fuse_neighbors(k)
+        with self.lock:
+            slots, mps = m.observations_of_kf(k)
+            m.update_point_stats(mps, self.tcfg.scale_factors())
+            self._cull_recent_points(k)
+            new_pts = self._create_new_points(k)
+            if len(new_pts):
+                self.recent_points.append((new_pts, k))
+            self._fuse_neighbors(k)
         if m.n_keyframes() > 2:
-            self._local_ba(k)
-        self._cull_keyframes(k)
+            self._local_ba(k)  # locks internally around build/write-back
+        with self.lock:
+            self._cull_keyframes(k)
 
     # ------------------------------------------------------- triangulation
     def _create_new_points(self, k: int):
@@ -270,10 +278,16 @@ class LocalMapper:
         # implicitly via frontier; a 2-kf map needs an explicit anchor)
         oldest = int(np.argmin(m.kf_frame_id[kf_sel]))
         fixed[oldest] = True
-        prob = _build_ba_problem(m, self.tcfg, kf_sel, mp_sel, fixed)
+        with self.lock:
+            prob = _build_ba_problem(m, self.tcfg, kf_sel, mp_sel, fixed)
         prob = _pad_problem(prob)
         res = bundle_adjust(prob, self.tcfg.cam, 2, 5)
-        _write_back_ba(m, prob, res, kf_sel, mp_sel)
+        res = jax.tree_util.tree_map(np.asarray, res)  # sync OUTSIDE the lock
+        with self.lock:
+            _write_back_ba(m, prob, res, kf_sel, mp_sel)
+            self._drop_ba_outliers(m, prob, res, kf_sel, mp_sel)
+
+    def _drop_ba_outliers(self, m, prob, res, kf_sel, mp_sel):
         # drop outlier observations
         obs_inl = np.asarray(res.obs_inlier)
         obs_cam = np.asarray(prob.obs_cam)

@@ -254,7 +254,8 @@ class FusedTracker:
         n_inl = int(out.n_inliers)
         R = np.asarray(out.R)
         tt = np.asarray(out.t)
-        T = SE3(jnp.asarray(R), jnp.asarray(tt))
+        # numpy-backed SE3: the per-frame path must not upload to device
+        T = SE3(R, tt)
         obs_cache = np.asarray(out.obs_cache_idx)
         obs_mp = np.full(feats.capacity, NO_POINT, np.int32)
         hit = obs_cache >= 0
@@ -270,7 +271,13 @@ class FusedTracker:
             self.state = None
             return None
         rec = FrameRecord(feats, T, obs_mp, ts, fid)
-        t._update_motion_model(rec)
+        # velocity in numpy (SE3 methods would dispatch device ops per frame)
+        if t.last is not None:
+            R_l = np.asarray(t.last.T_cw.R)
+            t_l = np.asarray(t.last.T_cw.t)
+            vR = R @ R_l.T
+            vt = tt - vR @ t_l
+            t.velocity = SE3(vR, vt)
         t.last = rec
         t.frames_since_kf += 1
         t.n_last_inliers = n_inl

@@ -447,16 +447,46 @@ class Tracker:
 
     def _pose_opt(self, T0, pts_w, uv, inv_s2):
         """Static-shape pose optimization: associations padded to
-        POSE_OPT_CAP so the solver compiles once per session."""
+        POSE_OPT_CAP so the solver compiles once per session. Once the IMU
+        is initialized, the visual-inertial variant fuses the frame-to-frame
+        preintegration factor (reference:
+        PoseInertialOptimizationLastFrame, src/Optimizer.cc:4875)."""
         n = min(len(pts_w), POSE_OPT_CAP)
         valid = np.zeros(POSE_OPT_CAP, bool)
         valid[:n] = True
+        pts_p = jnp.asarray(_pad1(pts_w, POSE_OPT_CAP))
+        uv_p = jnp.asarray(_pad1(uv, POSE_OPT_CAP))
+        is2_p = jnp.asarray(_pad1(inv_s2, POSE_OPT_CAP, 1.0))
+        imu = self.imu
+        if (
+            imu is not None
+            and imu.initialized
+            and imu.preint_frame is not None
+            and self.last is not None
+            and np.allclose(imu.cfg.R_bc, np.eye(3))
+        ):
+            from ..optim.vi_pose_opt import vi_pose_optimization
+
+            pre = imu.preint_frame
+            R_cw_prev = np.asarray(self.last.T_cw.R)
+            R_prev = R_cw_prev.T  # R_wb of previous frame (body == camera)
+            p_prev = -R_cw_prev.T @ np.asarray(self.last.T_cw.t)
+            res = vi_pose_optimization(
+                T0, self.cfg.cam, pts_p, uv_p, is2_p, jnp.asarray(valid),
+                jnp.asarray(R_prev.astype(np.float32)),
+                jnp.asarray(p_prev.astype(np.float32)),
+                jnp.asarray(imu.v_w),
+                pre.dT, pre.dR, pre.dV, pre.dP,
+                pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa,
+            )
+            imu._pred_v = np.asarray(res.v_w)
+            return res.T_cw, np.asarray(res.inliers)[: len(pts_w)]
         res = pose_optimization(
             T0,
             self.cfg.cam,
-            jnp.asarray(_pad1(pts_w, POSE_OPT_CAP)),
-            jnp.asarray(_pad1(uv, POSE_OPT_CAP)),
-            jnp.asarray(_pad1(inv_s2, POSE_OPT_CAP, 1.0)),
+            pts_p,
+            uv_p,
+            is2_p,
             valid=jnp.asarray(valid),
         )
         return res.T_cw, np.asarray(res.inliers)[: len(pts_w)]
