@@ -189,6 +189,16 @@ class LoopCloser:
         )
         if not bool(res.success):
             return None
+        if self.cfg.fix_scale:
+            # inertial maps are gravity-aligned: a valid loop correction is
+            # yaw+translation only. Reject hypotheses that tilt gravity
+            # (reference: LoopClosing gravity-direction sanity check,
+            # src/LoopClosing.cc:235-260).
+            S = res.S_12
+            R_world = m.kf_R[c].T @ np.asarray(S.R) @ m.kf_R[k]
+            tilt = np.degrees(np.arccos(np.clip(R_world[2, 2], -1.0, 1.0)))
+            if tilt > 5.0:
+                return None
         return res.S_12, int(res.n_inliers)  # S_ck: current-cam -> cand-cam
 
     # ----------------------------------------------------------- correction

@@ -57,6 +57,55 @@ def match_stereo(
     return u_r, depth, matched & (depth > 0)
 
 
+def refine_disparity_sad(
+    img_l,
+    img_r,
+    uv_l,
+    u_r,
+    matched,
+    half_w: int = 5,
+    search: int = 5,
+):
+    """Sub-pixel disparity refinement by SAD + parabola fit.
+
+    Reference: Frame::ComputeStereoMatches' refinement stage
+    (src/Frame.cc:880 region): slide an (2w+1)^2 patch along the scanline
+    around the descriptor match, take the SAD minimum, then fit a parabola
+    through the three central costs for sub-pixel u_r.
+
+    Batched: every keypoint's (2s+1) candidate windows are gathered and
+    reduced in one fused pass.
+    """
+    import jax
+
+    from .orientation import gather_patches
+
+    n = uv_l.shape[0]
+    size = 2 * half_w + 1
+    xs_l = uv_l[:, 0].astype(jnp.int32)
+    ys = uv_l[:, 1].astype(jnp.int32)
+    patch_l = gather_patches(img_l, ys, xs_l, half_w)  # (N, S, S)
+
+    def cost_at(shift):
+        xr = jnp.clip(u_r.astype(jnp.int32) + shift, half_w, img_r.shape[1] - half_w - 1)
+        patch_r = gather_patches(img_r, ys, xr, half_w)
+        return jnp.sum(jnp.abs(patch_l - patch_r), axis=(-2, -1))  # (N,)
+
+    shifts = list(range(-search, search + 1))
+    costs = jnp.stack([cost_at(s) for s in shifts], axis=-1)  # (N, 2s+1)
+    best = jnp.argmin(costs, axis=-1)
+    # parabola through (best-1, best, best+1)
+    b = jnp.clip(best, 1, len(shifts) - 2)
+    c0 = jnp.take_along_axis(costs, (b - 1)[:, None], axis=1)[:, 0]
+    c1 = jnp.take_along_axis(costs, b[:, None], axis=1)[:, 0]
+    c2 = jnp.take_along_axis(costs, (b + 1)[:, None], axis=1)[:, 0]
+    denom = c0 + c2 - 2 * c1
+    delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (c0 - c2) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0), 0.0)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    u_refined = u_r + (b - search).astype(jnp.float32) + delta
+    return jnp.where(matched, u_refined, u_r)
+
+
 def depth_from_depthmap(uv, depth_map, depth_scale: float = 1.0):
     """RGB-D: sample depth at feature locations (reference: Frame RGB-D ctor
     src/Frame.cc:200 + ComputeStereoFromRGBD :984)."""

@@ -91,3 +91,28 @@ class TestStereoTracking:
     def test_state_ok(self, stereo_seq):
         tracker, m, est, gt = stereo_seq
         assert tracker.state == OK
+
+
+class TestSubpixelRefinement:
+    def test_sad_parabola(self):
+        import jax
+        from orb_slam3_modified_tpu.ops.stereo_match import refine_disparity_sad
+
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0, 255, (60, 90)).astype(np.float32)
+        img_l = np.asarray(jax.image.resize(jnp.asarray(base), (480, 720), "cubic"))
+        true_disp = 13.0
+        # right image = left shifted by true_disp (pure horizontal shift)
+        img_r = np.roll(img_l, -int(true_disp), axis=1)
+        n = 50
+        uv_l = np.stack(
+            [rng.uniform(60, 650, n), rng.uniform(60, 420, n)], axis=1
+        ).astype(np.float32)
+        u_r_coarse = uv_l[:, 0] - true_disp + rng.integers(-2, 3, n)
+        u_ref = refine_disparity_sad(
+            jnp.asarray(img_l), jnp.asarray(img_r),
+            jnp.asarray(uv_l), jnp.asarray(u_r_coarse.astype(np.float32)),
+            jnp.ones(n, bool),
+        )
+        err = np.abs(np.asarray(u_ref) - (uv_l[:, 0] - true_disp))
+        assert np.median(err) < 0.6, f"median refine err {np.median(err)}px"
