@@ -48,6 +48,9 @@ class LocalMapper:
         # solves run unlocked so the tracker's keyframe creation never waits
         # behind a full mapping cycle
         self.lock = contextlib.nullcontext()
+        # optional ImuFrontend: enables the LocalInertialBA-style temporal
+        # window refinement after visual BA
+        self.imu = None
 
     def on_keyframe(self, k: int):
         m = self.map
@@ -63,8 +66,75 @@ class LocalMapper:
             self._fuse_neighbors(k)
         if m.n_keyframes() > 2:
             self._local_ba(k)  # locks internally around build/write-back
+            if self.imu is not None and self.imu.initialized:
+                self._vi_refine(k)
         with self.lock:
             self._cull_keyframes(k)
+
+    def _vi_refine(self, k: int, window_size: int = 10):
+        """Temporal-window visual-inertial refinement (reference:
+        Optimizer::LocalInertialBA, src/Optimizer.cc:2383 — Nd=10 keyframes
+        along the mPrevKF chain; points fixed here, alternated with the
+        visual BA that owns point updates)."""
+        from ..optim.inertial import InertialChain
+        from ..optim.vi_window_opt import vi_window_optimization
+
+        m = self.map
+        imu = self.imu
+        # last `window_size` consecutive valid chain entries
+        entries = [
+            (kf, p)
+            for kf, fid, p in imu.kf_chain
+            if m.kf_valid[kf] and int(m.kf_frame_id[kf]) == fid
+        ][-window_size:]
+        if len(entries) < 3:
+            return
+        kfs = [kf for kf, _ in entries]
+        pres = [p for _, p in entries]
+        chain = InertialChain.from_preintegrated(pres[1:])
+        K = len(kfs)
+        with self.lock:
+            T0 = SE3(jnp.asarray(m.kf_R[kfs]), jnp.asarray(m.kf_t[kfs]))
+            v0 = jnp.asarray(m.kf_vel[kfs])
+            # observations of window kfs on valid points (fixed)
+            obs_kf, obs_pt_pos, obs_uv, obs_is2 = [], [], [], []
+            inv_s2 = self.tcfg.inv_level_sigma2()
+            for i, kf in enumerate(kfs):
+                slots, mps = m.observations_of_kf(int(kf))
+                obs_kf.append(np.full(len(slots), i, np.int32))
+                obs_pt_pos.append(m.mp_pos[mps])
+                obs_uv.append(m.kf_uv[int(kf), slots])
+                obs_is2.append(inv_s2[m.kf_level[int(kf), slots]])
+        obs_kf = np.concatenate(obs_kf)
+        obs_pt_pos = np.concatenate(obs_pt_pos)
+        obs_uv = np.concatenate(obs_uv)
+        obs_is2 = np.concatenate(obs_is2)
+        O = len(obs_kf)
+        Ob = max(2048, int(np.ceil(O / 2048) * 2048))
+        valid = np.zeros(Ob, bool)
+        valid[:O] = True
+        fixed = np.zeros(K, bool)
+        fixed[0] = True
+        res = vi_window_optimization(
+            T0, v0, jnp.asarray(fixed), self.tcfg.cam,
+            jnp.asarray(_pad1(obs_pt_pos.astype(np.float32), Ob)),
+            jnp.asarray(_pad1(obs_kf, Ob)),
+            jnp.asarray(_pad1(obs_uv.astype(np.float32), Ob)),
+            jnp.asarray(_pad1(obs_is2.astype(np.float32), Ob, 1.0)),
+            jnp.asarray(valid),
+            chain,
+        )
+        with self.lock:
+            m.kf_R[kfs] = np.asarray(res.T_cw.R)
+            m.kf_t[kfs] = np.asarray(res.T_cw.t)
+            m.kf_vel[kfs] = np.asarray(res.v_w)
+        # fold the bias delta into the frontend (chain linearization bias)
+        from ..imu.preintegration import ImuBias
+
+        imu.bias = ImuBias(
+            imu.bias.bg + jnp.asarray(np.asarray(res.dbg)),
+            imu.bias.ba + jnp.asarray(np.asarray(res.dba)),
+        )
 
     # ------------------------------------------------------- triangulation
     def _create_new_points(self, k: int):

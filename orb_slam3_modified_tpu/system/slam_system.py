@@ -73,6 +73,7 @@ class SlamSystem:
             from ..tracking.imu_frontend import ImuConfig, ImuFrontend
 
             self.tracker.imu = ImuFrontend(cfg.imu or ImuConfig())
+            self.mapper.imu = self.tracker.imu
             if self.closer is not None:
                 # inertial maps: gravity fixes roll/pitch and (with IMU) the
                 # scale, so loop Sim3 is scale-fixed (reference: bFixScale)

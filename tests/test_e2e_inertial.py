@@ -47,6 +47,7 @@ def vi_run():
     tracker.on_keyframe = mapper.on_keyframe
     imu = ImuFrontend(ImuConfig(init_time=2.0))
     tracker.imu = imu
+    mapper.imu = imu  # enables LocalInertialBA-style window refinement
 
     est, gt, times = [], [], []
     dt_imu = 1.0 / freq
