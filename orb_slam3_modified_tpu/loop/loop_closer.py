@@ -84,9 +84,20 @@ class LoopCloser:
         # framework's stronger keyframe culling, maps stay denser in content
         # but smaller in count, so 10 is the equivalent threshold)
         if m.n_keyframes() >= 10 and k - self.last_loop_kf > 5:
-            cand = self._detect(k, words)
+            cand = None
+            if self.hypothesis is not None:
+                # refine the standing hypothesis directly against the new
+                # keyframe before paying a fresh BoW query (reference:
+                # DetectAndReffineSim3FromLastKF, src/LoopClosing.cc:535)
+                hyp_kf = self.hypothesis[0]
+                if m.kf_valid[hyp_kf]:
+                    ver = self._verify(k, int(hyp_kf))
+                    if ver is not None:
+                        cand = (int(hyp_kf), *ver)
+            if cand is None:
+                cand = self._detect(k, words)
             if cand is not None:
-                cand_kf, S_ck, pairs = cand
+                cand_kf, S_ck, n_pairs, mp_pairs = cand
                 if self.hypothesis and self._near(self.hypothesis[0], cand_kf):
                     count = self.hypothesis[1] + 1
                 else:
@@ -97,7 +108,7 @@ class LoopCloser:
                         self._merge_maps(k, cand_kf, S_ck)
                         self.n_merges += 1
                     else:
-                        self._correct_loop(k, cand_kf, S_ck)
+                        self._correct_loop(k, cand_kf, S_ck, mp_pairs)
                         self.n_loops_closed += 1
                     self.hypothesis = None
                     self.last_loop_kf = k
@@ -189,6 +200,8 @@ class LoopCloser:
         )
         if not bool(res.success):
             return None
+        inl = np.asarray(res.inliers)[:n]
+        pairs = (mp_k[:n][inl], mp_c[:n][inl])
         if self.cfg.fix_scale:
             # inertial maps are gravity-aligned: a valid loop correction is
             # yaw+translation only. Reject hypotheses that tilt gravity
@@ -199,12 +212,16 @@ class LoopCloser:
             tilt = np.degrees(np.arccos(np.clip(R_world[2, 2], -1.0, 1.0)))
             if tilt > 5.0:
                 return None
-        return res.S_12, int(res.n_inliers)  # S_ck: current-cam -> cand-cam
+        # S_ck: current-cam -> cand-cam; pairs: matched (current, cand)
+        # map-point ids for loop-side fusion
+        return res.S_12, int(res.n_inliers), pairs
 
     # ----------------------------------------------------------- correction
-    def _correct_loop(self, k: int, c: int, S_ck: Sim3):
+    def _correct_loop(self, k: int, c: int, S_ck: Sim3, mp_pairs=None):
         """Essential-graph correction (reference: CorrectLoop :969 +
-        OptimizeEssentialGraph src/Optimizer.cc:1501)."""
+        OptimizeEssentialGraph src/Optimizer.cc:1501 + SearchAndFuse — the
+        matched loop points are welded so the follow-up BA cannot relax the
+        correction away)."""
         m = self.map
         kfs = m.keyframe_indices()
         kf_pos = {int(kf): i for i, kf in enumerate(kfs)}
@@ -282,6 +299,19 @@ class LoopCloser:
         p_cam = S_old_sel.apply(p)
         p_new = S_new_sel.inverse().apply(p_cam)
         m.mp_pos[mp_all] = np.asarray(p_new)
+
+        # weld the loop: fuse matched point pairs (reference: SearchAndFuse
+        # src/LoopClosing.cc:2115) so both sides share observations
+        if mp_pairs is not None:
+            counts = m.obs_count_per_point()
+            for a, b in zip(*mp_pairs):
+                a, b = int(a), int(b)
+                if a == b or not (m.mp_valid[a] and m.mp_valid[b]):
+                    continue
+                if counts[b] >= counts[a]:
+                    m.replace_point(a, b)
+                else:
+                    m.replace_point(b, a)
 
         # optional global BA (reference: only for maps < 200 KFs)
         if self.cfg.run_gba and K < self.cfg.gba_max_kfs:

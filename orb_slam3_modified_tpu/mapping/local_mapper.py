@@ -60,10 +60,10 @@ class LocalMapper:
             slots, mps = m.observations_of_kf(k)
             m.update_point_stats(mps, self.tcfg.scale_factors())
             self._cull_recent_points(k)
-            new_pts = self._create_new_points(k)
-            if len(new_pts):
-                self.recent_points.append((new_pts, k))
-            self._fuse_neighbors(k)
+        new_pts = self._create_new_points(k)  # snapshot/compute/commit inside
+        if len(new_pts):
+            self.recent_points.append((new_pts, k))
+        self._fuse_neighbors(k)  # snapshot/compute/commit inside
         if m.n_keyframes() > 2:
             self._local_ba(k)  # locks internally around build/write-back
             if self.imu is not None and self.imu.initialized:
@@ -110,7 +110,9 @@ class LocalMapper:
         obs_uv = np.concatenate(obs_uv)
         obs_is2 = np.concatenate(obs_is2)
         O = len(obs_kf)
-        Ob = max(2048, int(np.ceil(O / 2048) * 2048))
+        Ob = 4096
+        while Ob < O:
+            Ob *= 2
         valid = np.zeros(Ob, bool)
         valid[:O] = True
         fixed = np.zeros(K, bool)
@@ -147,42 +149,49 @@ class LocalMapper:
         m = self.map
         cfg = self.cfg
         cam = self.tcfg.cam
-        neighbors = [
-            int(x)
-            for x in m.best_covisible(k, cfg.n_triangulation_neighbors, min_weight=10)
-        ]
-        if len(neighbors) == 0:
-            return np.empty(0, np.int64)
-        F = m.kf_uv.shape[1]
-        free_k = m.kf_feat_valid[k] & (m.kf_obs[k] == NO_POINT)
-        T_k = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
-        center_k = -m.kf_R[k].T @ m.kf_t[k]
-        created = []
         inv_s2 = self.tcfg.inv_level_sigma2()
+        created = []
 
-        # ---- batched neighbor matching (pad to fixed NB) ----
-        NB = 8
-        neighbors = neighbors[:NB]
-        nb_real = len(neighbors)
-        masks = np.zeros((NB, F, F), bool)
-        desc_n = np.zeros((NB, F, 8), np.uint32)
-        valid_n = np.zeros((NB, F), bool)
-        use = []
-        for j, kn in enumerate(neighbors):
-            center_n = -m.kf_R[kn].T @ m.kf_t[kn]
-            if np.linalg.norm(center_k - center_n) < 0.01:
-                continue  # reference gate: tiny baseline
-            T_n = SE3(jnp.asarray(m.kf_R[kn]), jnp.asarray(m.kf_t[kn]))
-            masks[j] = np.asarray(
-                _epipolar_mask(cam, m.kf_uv[k], m.kf_uv[kn], m.kf_level[kn], T_k, T_n, inv_s2)
-            )
-            desc_n[j] = m.kf_desc[kn]
-            valid_n[j] = m.kf_feat_valid[kn] & (m.kf_obs[kn] == NO_POINT)
-            use.append(j)
+        # ---- snapshot phase (brief lock): everything the device match needs
+        with self.lock:
+            neighbors = [
+                int(x)
+                for x in m.best_covisible(
+                    k, cfg.n_triangulation_neighbors, min_weight=10
+                )
+            ]
+            if len(neighbors) == 0:
+                return np.empty(0, np.int64)
+            F = m.kf_uv.shape[1]
+            free_k = m.kf_feat_valid[k] & (m.kf_obs[k] == NO_POINT)
+            T_k = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
+            center_k = -m.kf_R[k].T @ m.kf_t[k]
+            NB = 8
+            neighbors = neighbors[:NB]
+            masks = np.zeros((NB, F, F), bool)
+            desc_n = np.zeros((NB, F, 8), np.uint32)
+            valid_n = np.zeros((NB, F), bool)
+            use = []
+            for j, kn in enumerate(neighbors):
+                center_n = -m.kf_R[kn].T @ m.kf_t[kn]
+                if np.linalg.norm(center_k - center_n) < 0.01:
+                    continue  # reference gate: tiny baseline
+                T_n = SE3(jnp.asarray(m.kf_R[kn]), jnp.asarray(m.kf_t[kn]))
+                masks[j] = np.asarray(
+                    _epipolar_mask(
+                        cam, m.kf_uv[k], m.kf_uv[kn], m.kf_level[kn], T_k, T_n, inv_s2
+                    )
+                )
+                desc_n[j] = m.kf_desc[kn]
+                valid_n[j] = m.kf_feat_valid[kn] & (m.kf_obs[kn] == NO_POINT)
+                use.append(j)
+            desc_k_snap = m.kf_desc[k].copy()
         if not use:
             return np.empty(0, np.int64)
+
+        # ---- compute phase (NO lock): device matching + readback
         idx_all, keep_all = _batched_neighbor_match(
-            jnp.asarray(m.kf_desc[k]), jnp.asarray(free_k),
+            jnp.asarray(desc_k_snap), jnp.asarray(free_k),
             jnp.asarray(desc_n), jnp.asarray(valid_n), jnp.asarray(masks),
         )
         idx_all = np.asarray(idx_all)
@@ -208,7 +217,9 @@ class LocalMapper:
             P1 = np.asarray(projection_matrix(T_k))
             P2 = np.asarray(projection_matrix(T_n))
             nsel = len(sel)
-            bucket = max(256, int(np.ceil(nsel / 256) * 256))
+            bucket = 512
+            while bucket < nsel:
+                bucket *= 2
             pts = np.asarray(
                 triangulate_dlt(
                     jnp.asarray(np.broadcast_to(P1, (bucket, 3, 4))),
@@ -242,20 +253,29 @@ class LocalMapper:
             if good.sum() == 0:
                 continue
             gsel = sel[good]
-            try:
-                mp_idx = m.alloc_points(int(good.sum()))
-            except RuntimeError:
-                break
-            m.mp_pos[mp_idx] = pts[good]
-            m.mp_first_kf[mp_idx] = k
-            m.kf_obs[k, gsel] = mp_idx
-            m.kf_obs[kn, idx_np[gsel]] = mp_idx
+            with self.lock:
+                # slots may have been claimed since the snapshot
+                still = (m.kf_obs[k, gsel] == NO_POINT) & (
+                    m.kf_obs[kn, idx_np[gsel]] == NO_POINT
+                )
+                gsel = gsel[still]
+                if len(gsel) == 0:
+                    continue
+                try:
+                    mp_idx = m.alloc_points(len(gsel))
+                except RuntimeError:
+                    break
+                m.mp_pos[mp_idx] = pts[good][still]
+                m.mp_first_kf[mp_idx] = k
+                m.kf_obs[k, gsel] = mp_idx
+                m.kf_obs[kn, idx_np[gsel]] = mp_idx
             free_k[gsel] = False
             created.append(mp_idx)
         if not created:
             return np.empty(0, np.int64)
         out = np.concatenate(created)
-        m.update_point_stats(out, self.tcfg.scale_factors())
+        with self.lock:
+            m.update_point_stats(out, self.tcfg.scale_factors())
         return out
 
     # -------------------------------------------------------------- fusion
@@ -265,45 +285,52 @@ class LocalMapper:
         src/ORBmatcher.cc:1148). Simplified to first-order neighbors."""
         m = self.map
         cam = self.tcfg.cam
-        neighbors = [
-            int(x)
-            for x in m.best_covisible(
-                k, self.cfg.n_triangulation_neighbors, min_weight=10
-            )
-        ][:8]
-        slots_k, mps_k = m.observations_of_kf(k)
-        if len(mps_k) == 0 or len(neighbors) == 0:
-            return
-        F = m.kf_uv.shape[1]
-        NB = 8
-        n_c = min(len(mps_k), F)
-        c_sel = np.arange(n_c)
-        desc_p = _pad1(m.mp_desc[mps_k[:n_c]], F)
-        # batched: project the candidate set into every neighbor (numpy),
-        # then ONE vmapped match dispatch across neighbors
-        masks = np.zeros((NB, F, F), bool)
-        desc_n = np.zeros((NB, F, 8), np.uint32)
-        valid_n = np.zeros((NB, F), bool)
-        val_p_nb = np.zeros((NB, F), bool)
-        for j, kn in enumerate(neighbors):
-            pc = m.mp_pos[mps_k[:n_c]] @ m.kf_R[kn].T + m.kf_t[kn]
-            uv = project_np(cam, pc)
-            visible = (
-                (pc[:, 2] > 0.05)
-                & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
-                & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
-            )
-            val_p_nb[j, :n_c] = visible
-            d2 = (_pad1(uv, F)[:, None, :] - m.kf_uv[kn][None]) ** 2
-            masks[j] = d2.sum(-1) < 9.0  # 3px fuse radius
-            desc_n[j] = m.kf_desc[kn]
-            valid_n[j] = m.kf_feat_valid[kn]
+        with self.lock:
+            neighbors = [
+                int(x)
+                for x in m.best_covisible(
+                    k, self.cfg.n_triangulation_neighbors, min_weight=10
+                )
+            ][:8]
+            slots_k, mps_k = m.observations_of_kf(k)
+            if len(mps_k) == 0 or len(neighbors) == 0:
+                return
+            F = m.kf_uv.shape[1]
+            NB = 8
+            n_c = min(len(mps_k), F)
+            c_sel = np.arange(n_c)
+            desc_p = _pad1(m.mp_desc[mps_k[:n_c]], F)
+            # batched: project the candidate set into every neighbor (numpy),
+            # then ONE vmapped match dispatch across neighbors
+            masks = np.zeros((NB, F, F), bool)
+            desc_n = np.zeros((NB, F, 8), np.uint32)
+            valid_n = np.zeros((NB, F), bool)
+            val_p_nb = np.zeros((NB, F), bool)
+            for j, kn in enumerate(neighbors):
+                pc = m.mp_pos[mps_k[:n_c]] @ m.kf_R[kn].T + m.kf_t[kn]
+                uv = project_np(cam, pc)
+                visible = (
+                    (pc[:, 2] > 0.05)
+                    & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+                    & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+                )
+                val_p_nb[j, :n_c] = visible
+                d2 = (_pad1(uv, F)[:, None, :] - m.kf_uv[kn][None]) ** 2
+                masks[j] = d2.sum(-1) < 9.0  # 3px fuse radius
+                desc_n[j] = m.kf_desc[kn]
+                valid_n[j] = m.kf_feat_valid[kn]
+        # compute phase (NO lock)
         idx_all, ok_all = _batched_fuse_match(
             jnp.asarray(desc_p), jnp.asarray(val_p_nb),
             jnp.asarray(desc_n), jnp.asarray(valid_n), jnp.asarray(masks),
         )
         idx_all = np.asarray(idx_all)
         ok_all = np.array(ok_all)
+        with self.lock:
+            self._commit_fuse(k, neighbors, mps_k, c_sel, n_c, idx_all, ok_all)
+
+    def _commit_fuse(self, k, neighbors, mps_k, c_sel, n_c, idx_all, ok_all):
+        m = self.map
         counts = m.obs_count_per_point()  # once, not per match
         for j, kn in enumerate(neighbors):
             ok_np = ok_all[j]
@@ -472,18 +499,23 @@ def _hat(v):
 
 def _pad_problem(prob):
     """Bucket-pad BA problem so bundle_adjust compiles per bucket, not per
-    exact size."""
+    exact size. Buckets grow by powers of two from generous floors: remote
+    TPU compiles cost minutes, so a whole run should hit only 2-3 shapes."""
     import math
 
     from ..optim.ba import BAProblem
 
     def bucket(n, q):
-        return max(q, int(math.ceil(n / q) * q))
+        # next power-of-two multiple of the floor q
+        b = q
+        while b < n:
+            b *= 2
+        return b
 
     K = prob.T_cw.t.shape[0]
     P = prob.points.shape[0]
     O = prob.obs_cam.shape[0]
-    Kb, Pb, Ob = bucket(K, 4), bucket(P, 1024), bucket(O, 2048)
+    Kb, Pb, Ob = bucket(K, 16), bucket(P, 4096), bucket(O, 8192)
     if (Kb, Pb, Ob) == (K, P, O):
         return prob
     pad_k = Kb - K

@@ -136,6 +136,19 @@ class Tracker:
         fid = self.frame_id
         self.frame_id += 1
         self._cur_depth = None if depth is None else np.asarray(depth)
+        # timestamp sanity (reference: src/Tracking.cc:1822-1858 — backward
+        # jumps reset IMU integration, large gaps force a map handoff)
+        if self.last is not None:
+            dt_gap = ts - self.last.ts
+            if dt_gap < 0:
+                if self.imu is not None:
+                    self.imu.preint_frame = None
+                    self.imu.preint_kf = None
+                self.velocity = None
+            elif dt_gap > 1.0 and self.state == OK:
+                self.state = RECENTLY_LOST
+                self.lost_frames = self.cfg.recently_lost_budget  # -> LOST next miss
+                self.velocity = None
         if self.imu is not None and imu_samples is not None and len(imu_samples[2]):
             self.imu.integrate_frame(*imu_samples)
         if self.state == NOT_INITIALIZED:
