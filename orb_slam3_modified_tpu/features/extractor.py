@@ -18,10 +18,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.brief import brief_descriptors
-from ..ops.fast import fast_score_map, nonmax_3x3
+from ..ops.brief import GATHER_R, brief_from_patches
+from ..ops.fast import fast_score_maps, nonmax_3x3
 from ..ops.image import build_pyramid, gaussian_blur
-from ..ops.orientation import ic_angles
+from ..ops.orientation import _patches_from_padded, ic_angles_from_patches
 from ..ops.select import cell_topk, global_topk
 
 EDGE = 19  # reference: EDGE_THRESHOLD=19 border margin
@@ -78,8 +78,9 @@ def extract(img, cfg: ExtractorConfig = ExtractorConfig()):
         budget = budgets[lvl]
         if budget == 0 or min(im.shape) <= 2 * EDGE + 7:
             continue
-        r_hi = nonmax_3x3(fast_score_map(im, cfg.ini_th))
-        r_lo = nonmax_3x3(fast_score_map(im, cfg.min_th))
+        r_hi, r_lo = fast_score_maps(im, cfg.ini_th, cfg.min_th)
+        r_hi = nonmax_3x3(r_hi)
+        r_lo = nonmax_3x3(r_lo)
         # mask off the EDGE border (descriptor patch must fit)
         h, w = im.shape
         ys_g = jnp.arange(h)[:, None]
@@ -93,9 +94,16 @@ def extract(img, cfg: ExtractorConfig = ExtractorConfig()):
         ys, xs, sc, ok = global_topk(ys, xs, sc, budget)
         ys = ys.astype(jnp.int32)
         xs = xs.astype(jnp.int32)
-        ang = ic_angles(im, ys, xs)
+        # one shared patch gather feeds orientation AND descriptor: blurred
+        # (GATHER_R-padded) 39x39 windows. Deviation from the reference,
+        # which computes IC angles on the raw level image — moments of the
+        # blurred patch are equivalent up to the blur's smoothing and keep
+        # the whole level at a single gather.
         blurred = gaussian_blur(im)
-        d = brief_descriptors(blurred, ys, xs, ang)
+        padded = jnp.pad(blurred, GATHER_R)
+        patches = _patches_from_padded(padded, ys, xs, 2 * GATHER_R + 1)
+        ang = ic_angles_from_patches(patches)
+        d = brief_from_patches(patches, ang)
         s = cfg.scale**lvl
         uvs.append(jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], -1))
         descs.append(d)
@@ -111,3 +119,9 @@ def extract(img, cfg: ExtractorConfig = ExtractorConfig()):
         response=jnp.concatenate(resps, 0),
         valid=jnp.concatenate(valids, 0),
     )
+
+
+def extract_batch(imgs, cfg: ExtractorConfig = ExtractorConfig()):
+    """Batched extraction: imgs (B, H, W) float32 -> Features with a leading
+    batch axis on every field. One dispatch for the whole chunk."""
+    return jax.vmap(lambda im: extract(im, cfg))(imgs)

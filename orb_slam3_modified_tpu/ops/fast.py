@@ -6,9 +6,15 @@ thresholds iniThFAST=20 / minThFAST=7 from the YAML ORBextractor block).
 
 Design: instead of per-cell scalar loops, one dense pass computes a corner
 response for EVERY pixel (16 shifted views of the image -> contiguous-arc
-test via a circular sliding-window sum). Cell-level selection then happens as
-a reshape + argmax reduction (see ops/select.py). This is embarrassingly
+test as integer bit tricks). Cell-level selection then happens as a
+reshape + top-k reduction (see ops/select.py). This is embarrassingly
 parallel and maps straight onto the VPU.
+
+The contiguous-arc-of-9 test packs the 16 ring comparisons into a uint32
+bitmask per pixel and ANDs 9 shifted copies of the doubled mask — ~10 VPU
+ops replacing the cumsum-based sliding window (which materialized a
+(33, H, W) intermediate). Both FAST thresholds share the 16 ring views,
+which dominate the memory traffic.
 """
 from __future__ import annotations
 
@@ -34,43 +40,54 @@ def _ring_views(img):
     return jnp.stack(views, axis=0)
 
 
-def fast_score_map(img, threshold: float):
-    """Corner response for every pixel. img: (H, W) float32.
+def _arc_ok(mask16):
+    """mask16: (16, H, W) bool -> (H, W) bool: any 9 contiguous ring bits set
+    (circular). Packs to uint32 and tests via 9 shift-ANDs of the doubled
+    mask — window starts 0..15 all lie inside the doubled 32-bit word."""
+    shifts = jnp.asarray((1 << np.arange(16)).astype(np.uint32))
+    bits = jnp.sum(
+        mask16.astype(jnp.uint32) * shifts[:, None, None], axis=0, dtype=jnp.uint32
+    )
+    d = bits | (bits << jnp.uint32(16))
+    acc = d
+    for k in range(1, ARC_LEN):
+        acc = acc & (d >> jnp.uint32(k))
+    return acc != 0
 
-    Returns (H, W) float32 response; 0 where not a corner. Response is the
-    OpenCV-style score: max over valid arcs of (min |ring - center| - threshold)
-    approximated as sum-of-differences over the best arc, which preserves
-    the ordering cv::FAST uses for non-max suppression.
-    """
-    ring = _ring_views(img)  # (16, H, W)
-    center = img[None]
-    diff = ring - center
-    brighter = (diff > threshold).astype(jnp.float32)
-    darker = (diff < -threshold).astype(jnp.float32)
 
-    def arc_ok(mask):
-        # circular sliding window sum of length ARC_LEN over axis 0
-        m = jnp.concatenate([mask, mask[: ARC_LEN - 1]], axis=0)
-        c = jnp.cumsum(m, axis=0)
-        zero = jnp.zeros_like(c[:1])
-        c = jnp.concatenate([zero, c], axis=0)
-        win = c[ARC_LEN:] - c[:-ARC_LEN]  # (16, H, W)
-        return jnp.max(win, axis=0) >= ARC_LEN
-
-    is_corner = arc_ok(brighter) | arc_ok(darker)
-    # score: sum of |diff| over pixels exceeding threshold (symmetric variant)
-    sb = jnp.sum(jnp.where(diff > threshold, diff - threshold, 0.0), axis=0)
-    sd = jnp.sum(jnp.where(diff < -threshold, -diff - threshold, 0.0), axis=0)
-    score = jnp.maximum(sb, sd)
-    resp = jnp.where(is_corner, score, 0.0)
-    # zero out the rolled border
-    h, w = img.shape
+def _border_mask(h, w):
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
-    valid = (
-        (ys >= BORDER) & (ys < h - BORDER) & (xs >= BORDER) & (xs < w - BORDER)
-    )
-    return jnp.where(valid, resp, 0.0)
+    return (ys >= BORDER) & (ys < h - BORDER) & (xs >= BORDER) & (xs < w - BORDER)
+
+
+def fast_score_maps(img, th_hi: float, th_lo: float):
+    """Corner responses at BOTH thresholds in one pass (they share the 16
+    ring views, which dominate memory traffic). img: (H, W) float32.
+
+    Returns (resp_hi, resp_lo), each (H, W) float32; 0 where not a corner.
+    Score is the symmetric sum-of-exceedance variant, which preserves the
+    ordering cv::FAST uses for non-max suppression.
+    """
+    ring = _ring_views(img)  # (16, H, W)
+    diff = ring - img[None]
+    border = _border_mask(*img.shape)
+
+    def one(th):
+        brighter = diff > th
+        darker = diff < -th
+        is_corner = _arc_ok(brighter) | _arc_ok(darker)
+        sb = jnp.sum(jnp.where(brighter, diff - th, 0.0), axis=0)
+        sd = jnp.sum(jnp.where(darker, -diff - th, 0.0), axis=0)
+        score = jnp.maximum(sb, sd)
+        return jnp.where(is_corner & border, score, 0.0)
+
+    return one(th_hi), one(th_lo)
+
+
+def fast_score_map(img, threshold: float):
+    """Single-threshold corner response (see fast_score_maps)."""
+    return fast_score_maps(img, threshold, threshold)[0]
 
 
 def nonmax_3x3(resp):

@@ -45,24 +45,21 @@ def _gauss_kernel1d(ksize: int, sigma: float):
 
 
 def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
-    """Separable Gaussian blur with reflect padding, (H, W) float32."""
-    k = jnp.asarray(_gauss_kernel1d(ksize, sigma))
+    """Separable Gaussian blur with reflect padding, (H, W) float32.
+
+    Implemented as 2*ksize shifted static slices + FMAs: single-channel
+    convs waste the TPU's channel lanes, while shifted adds stay fused
+    elementwise VPU work."""
+    k = _gauss_kernel1d(ksize, sigma)
     r = ksize // 2
+    h, w = img.shape
 
-    def conv1d(a, axis):
-        a2 = jnp.pad(a, ((r, r), (0, 0)) if axis == 0 else ((0, 0), (r, r)), mode="reflect")
-        if axis == 0:
-            kern = k[:, None, None, None]  # (kh, kw, in, out)
-            a4 = a2[None, :, :, None]
-            out = jax.lax.conv_general_dilated(
-                a4, kern, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
-            )
-        else:
-            kern = k[None, :, None, None]
-            a4 = a2[None, :, :, None]
-            out = jax.lax.conv_general_dilated(
-                a4, kern, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
-            )
-        return out[0, :, :, 0]
-
-    return conv1d(conv1d(img, 0), 1)
+    a = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
+    out = k[0] * a[0:h]
+    for i in range(1, ksize):
+        out = out + k[i] * a[i : i + h]
+    a = jnp.pad(out, ((0, 0), (r, r)), mode="reflect")
+    out = k[0] * a[:, 0:w]
+    for i in range(1, ksize):
+        out = out + k[i] * a[:, i : i + w]
+    return out
