@@ -2,14 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: tracking frames/s over a synthetic-feature sequence through the full
-SLAM stack (motion-model projection matching + pose optimization + local-map
-tracking + keyframe/local-BA upkeep). Baseline = the reference's real-time
-contract of 20 fps on a desktop CPU (BASELINE.md: EuRoC throttle loop,
-Examples/Monocular-Inertial/mono_inertial_euroc.cc:224).
+Metric: frames/s over a rendered image sequence through the FULL SLAM
+stack — ORB extraction (pyramid/FAST/BRIEF on device), motion-model
+projection matching, IRLS-LM pose optimization, local-map tracking,
+keyframe policy, async local mapping (triangulation + local BA) and loop
+closing. Images enter as uint8 host frames, exactly what a camera driver
+would hand over; the chunked frontend (tracking/chunked.py) amortizes
+dispatch + transfer latency over 16-frame chunks.
 
-Feature extraction is benchmarked separately ("extract_ms" auxiliary output
-on stderr) until the image frontend is fused into the per-frame step.
+Baseline = the reference's real-time contract of 20 fps on a desktop CPU
+(BASELINE.md: EuRoC throttle loop,
+Examples/Monocular-Inertial/mono_inertial_euroc.cc:224).
 """
 import json
 import sys
@@ -18,76 +21,96 @@ import time
 import numpy as np
 
 
+def render_sequence(cam, n_frames, seed=0):
+    """Rendered orbit over a textured plane, as uint8 host frames."""
+    from orb_slam3_modified_tpu.utils.synthetic import orbit_trajectory
+    from orb_slam3_modified_tpu.utils.synthetic_dataset import (
+        camera_rays,
+        render_textured_scene,
+    )
+
+    rng = np.random.default_rng(seed)
+    try:
+        import cv2
+
+        tex_small = rng.uniform(0, 255, (96, 96)).astype(np.float32)
+        texture = cv2.resize(tex_small, (1024, 1024), interpolation=cv2.INTER_CUBIC)
+    except Exception:
+        import jax.numpy as jnp
+        import jax.image
+
+        tex_small = rng.uniform(0, 255, (96, 96)).astype(np.float32)
+        texture = np.asarray(
+            jax.image.resize(jnp.asarray(tex_small), (1024, 1024), "cubic")
+        )
+    T_all = orbit_trajectory(n_frames, radius=4.0, sweep=np.pi / 2)
+    rays = camera_rays(cam)
+    imgs = []
+    gts = []
+    for i in range(n_frames):
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(T_all.R[i])
+        T[:3, 3] = np.asarray(T_all.t[i])
+        img = render_textured_scene(
+            T, cam, texture, plane_z=2.0, plane_half=10.0, rays_c=rays
+        )
+        imgs.append(np.clip(img, 0, 255).astype(np.uint8))
+        gts.append(T)
+    return imgs, gts
+
+
 def main():
     import orb_slam3_modified_tpu  # noqa: F401  (precision + cache config)
     import jax
-    import jax.numpy as jnp
 
     from orb_slam3_modified_tpu.cameras import Camera
-    from orb_slam3_modified_tpu.lie.se3 import SE3
-    from orb_slam3_modified_tpu.mapping.local_mapper import (
-        LocalMapper,
-        LocalMapperConfig,
-    )
-    from orb_slam3_modified_tpu.slam_map.map_state import MapState
-    from orb_slam3_modified_tpu.tracking.tracker import Tracker, TrackerConfig
-    from orb_slam3_modified_tpu.utils.synthetic import orbit_trajectory
-    from orb_slam3_modified_tpu.utils.synthetic_features import SyntheticFeatureWorld
-
-    from orb_slam3_modified_tpu.tracking.fused import FusedTracker
-
-    from orb_slam3_modified_tpu.mapping.async_mapper import AsyncLocalMapper
+    from orb_slam3_modified_tpu.features.extractor import ExtractorConfig
+    from orb_slam3_modified_tpu.system.slam_system import SlamSystem, SystemConfig
 
     cam = Camera.pinhole(458.654, 457.296, 367.215, 248.375, width=752, height=480)
-    n_frames = 120
-    world = SyntheticFeatureWorld(
-        n_points=6000, spread=5.0, seed=0, feat_cap=1024, noise_px=0.4
+    n_frames = 400
+    t_render = time.perf_counter()
+    imgs, gts = render_sequence(cam, n_frames)
+    print(
+        f"[bench] rendered {n_frames} frames in {time.perf_counter()-t_render:.1f}s",
+        file=sys.stderr,
     )
-    T_all = orbit_trajectory(n_frames, radius=4.0, sweep=np.pi / 2)
-    slam_map = MapState.create(max_kf=256, max_mp=32768, feat_cap=1024)
-    tcfg = TrackerConfig(cam=cam)
-    tracker = Tracker(tcfg, slam_map)
-    mapper = LocalMapper(LocalMapperConfig(), tcfg, slam_map)
-    async_mapper = AsyncLocalMapper(mapper)
-    tracker.on_keyframe = async_mapper.on_keyframe
-    tracker.mapper_busy_fn = async_mapper.busy
-    fused = FusedTracker(tracker, lag=3, map_lock=async_mapper.lock)
 
-    # pre-render features so the bench times SLAM, not the synthetic world
-    frames = []
-    for i in range(n_frames):
-        T_cw = SE3(T_all.R[i], T_all.t[i])
-        feats, _ = world.observe(cam, T_cw, max_feats=800)
-        jax.block_until_ready(feats.uv)
-        frames.append(feats)
+    slam = SlamSystem(
+        SystemConfig(
+            cam=cam,
+            feat_cap=1024,
+            extractor=ExtractorConfig(n_features=1024),
+            use_loop_closing=True,
+        )
+    )
+    fe = slam.make_chunked_frontend(chunk=16, lag=1)
 
-    # warmup: first frames trigger all compiles
-    n_warm = 12
+    fps_cam = 20.0
+    n_warm = 64  # init slow path + first chunk compiles
+    retired = []
     for i in range(n_warm):
-        fused.track(frames[i], ts=i * 0.05)
+        retired += fe.track_image(imgs[i], ts=i / fps_cam)
 
     t0 = time.perf_counter()
     for i in range(n_warm, n_frames):
-        fused.track(frames[i], ts=i * 0.05)
-    fused.flush()
+        retired += fe.track_image(imgs[i], ts=i / fps_cam)
+    retired += fe.flush()
     dt = time.perf_counter() - t0
-    async_mapper.flush()
-    async_mapper.shutdown()
     fps = (n_frames - n_warm) / dt
-    tracked = sum(
-        1 for ts, fid, T in tracker.absolute_trajectory() if fid >= n_warm
-    )
+    slam.shutdown()
 
+    tracked = sum(1 for fid, ts, T in retired if T is not None and fid >= n_warm)
     baseline_fps = 20.0
     print(
         f"[bench] device={jax.devices()[0]} tracked={tracked}/{n_frames - n_warm} "
-        f"kfs={slam_map.n_keyframes()} mps={slam_map.n_points()}",
+        f"kfs={slam.map.n_keyframes()} mps={slam.map.n_points()}",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": "tracking_fps",
+                "metric": "tracking_fps_with_extraction",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline_fps, 3),

@@ -22,10 +22,15 @@ from .local_mapper import LocalMapper
 
 
 class AsyncLocalMapper:
-    def __init__(self, mapper: LocalMapper, map_lock=None):
+    def __init__(self, mapper: LocalMapper, map_lock=None, post_fn=None):
         self.mapper = mapper
         self.lock = map_lock or threading.RLock()
         mapper.lock = self.lock  # fine-grained phase locking inside
+        # post_fn(k): runs after local mapping, under the map lock — the
+        # downstream per-keyframe stage (loop closing), mirroring the
+        # reference pipeline order LocalMapping -> LoopClosing
+        # (src/LocalMapping.cc:255 region enqueues to the loop thread).
+        self.post_fn = post_fn
         self.queue: queue.Queue = queue.Queue()
         self._stop = False
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -48,6 +53,9 @@ class AsyncLocalMapper:
                 continue
             try:
                 self.mapper.on_keyframe(k)  # locks its phases internally
+                if self.post_fn is not None:
+                    with self.lock:
+                        self.post_fn(k)
                 self.processed += 1
             except Exception as e:  # surface in flush(); don't kill the thread
                 self.errors.append((k, repr(e)))

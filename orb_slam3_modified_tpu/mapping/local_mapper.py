@@ -72,70 +72,37 @@ class LocalMapper:
             self._cull_keyframes(k)
 
     def _vi_refine(self, k: int, window_size: int = 10):
-        """Temporal-window visual-inertial refinement (reference:
+        """Temporal-window JOINT visual-inertial BA (reference:
         Optimizer::LocalInertialBA, src/Optimizer.cc:2383 — Nd=10 keyframes
-        along the mPrevKF chain; points fixed here, alternated with the
-        visual BA that owns point updates)."""
-        from ..optim.inertial import InertialChain
-        from ..optim.vi_window_opt import vi_window_optimization
+        along the mPrevKF chain, poses + velocities + per-KF biases with
+        random-walk edges AND points optimized together; the anchor keyframe
+        is fully pinned as the reference fixes all four anchor vertices)."""
+        from ..imu.preintegration import ImuBias
+        from ..optim.vi_ba import build_vi_problem, vi_bundle_adjust, write_back_vi
 
         m = self.map
         imu = self.imu
-        # last `window_size` consecutive valid chain entries
-        entries = [
-            (kf, p)
-            for kf, fid, p in imu.kf_chain
-            if m.kf_valid[kf] and int(m.kf_frame_id[kf]) == fid
-        ][-window_size:]
-        if len(entries) < 3:
+        # last `window_size` surviving chain entries, preintegrations merged
+        # across culled keyframes (a partial-gap edge is a wrong constraint)
+        kfs_all, pres_all = imu.valid_chain(m)
+        kfs = kfs_all[-window_size:]
+        pres = pres_all[-window_size:][1:] if len(kfs_all) >= 2 else []
+        if len(kfs) < 3:
             return
-        kfs = [kf for kf, _ in entries]
-        pres = [p for _, p in entries]
-        chain = InertialChain.from_preintegrated(pres[1:])
         K = len(kfs)
-        with self.lock:
-            T0 = SE3(jnp.asarray(m.kf_R[kfs]), jnp.asarray(m.kf_t[kfs]))
-            v0 = jnp.asarray(m.kf_vel[kfs])
-            # observations of window kfs on valid points (fixed)
-            obs_kf, obs_pt_pos, obs_uv, obs_is2 = [], [], [], []
-            inv_s2 = self.tcfg.inv_level_sigma2()
-            for i, kf in enumerate(kfs):
-                slots, mps = m.observations_of_kf(int(kf))
-                obs_kf.append(np.full(len(slots), i, np.int32))
-                obs_pt_pos.append(m.mp_pos[mps])
-                obs_uv.append(m.kf_uv[int(kf), slots])
-                obs_is2.append(inv_s2[m.kf_level[int(kf), slots]])
-        obs_kf = np.concatenate(obs_kf)
-        obs_pt_pos = np.concatenate(obs_pt_pos)
-        obs_uv = np.concatenate(obs_uv)
-        obs_is2 = np.concatenate(obs_is2)
-        O = len(obs_kf)
-        Ob = 4096
-        while Ob < O:
-            Ob *= 2
-        valid = np.zeros(Ob, bool)
-        valid[:O] = True
         fixed = np.zeros(K, bool)
         fixed[0] = True
-        res = vi_window_optimization(
-            T0, v0, jnp.asarray(fixed), self.tcfg.cam,
-            jnp.asarray(_pad1(obs_pt_pos.astype(np.float32), Ob)),
-            jnp.asarray(_pad1(obs_kf, Ob)),
-            jnp.asarray(_pad1(obs_uv.astype(np.float32), Ob)),
-            jnp.asarray(_pad1(obs_is2.astype(np.float32), Ob, 1.0)),
-            jnp.asarray(valid),
-            chain,
-        )
         with self.lock:
-            m.kf_R[kfs] = np.asarray(res.T_cw.R)
-            m.kf_t[kfs] = np.asarray(res.T_cw.t)
-            m.kf_vel[kfs] = np.asarray(res.v_w)
-        # fold the bias delta into the frontend (chain linearization bias)
-        from ..imu.preintegration import ImuBias
-
+            prob, kfs_np, mp_sel = build_vi_problem(
+                m, self.tcfg, kfs, pres, fixed, 0.0, 0.0, imu.cfg
+            )
+        res = vi_bundle_adjust(prob, self.tcfg.cam, 2, 6)
+        with self.lock:
+            write_back_vi(m, res, kfs_np, mp_sel)
+        imu.v_w = np.asarray(res.v_w)[K - 1].astype(np.float32)
         imu.bias = ImuBias(
-            imu.bias.bg + jnp.asarray(np.asarray(res.dbg)),
-            imu.bias.ba + jnp.asarray(np.asarray(res.dba)),
+            jnp.asarray(np.asarray(res.bg)[K - 1]),
+            jnp.asarray(np.asarray(res.ba)[K - 1]),
         )
 
     # ------------------------------------------------------- triangulation

@@ -29,13 +29,23 @@ def main(argv=None):
     p.add_argument("--atlas-in", default=None, help="resume from checkpoint")
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--no-loop", action="store_true")
+    p.add_argument("--chunked", action="store_true",
+                   help="chunk-pipelined frontend (mono only; tracking/chunked.py)")
+    p.add_argument("--chunk-size", type=int, default=16)
     args = p.parse_args(argv)
 
     from .cameras import Camera
     from .features.extractor import ExtractorConfig, extract
     from .io.datasets import EurocDataset, KittiDataset, TumDataset
     from .ops.stereo_match import depth_from_depthmap, match_stereo
-    from .system.slam_system import MONOCULAR, RGBD, STEREO, SlamSystem, SystemConfig
+    from .system.slam_system import (
+        IMU_MONOCULAR,
+        MONOCULAR,
+        RGBD,
+        STEREO,
+        SlamSystem,
+        SystemConfig,
+    )
 
     if args.config:
         from .io.settings import load_settings
@@ -49,9 +59,12 @@ def main(argv=None):
         ecfg = ExtractorConfig()
         bf = 458.654 * 0.11
 
-    sensor = {"mono": MONOCULAR, "stereo": STEREO, "rgbd": RGBD, "mono-imu": MONOCULAR}[
-        args.sensor
-    ]
+    sensor = {
+        "mono": MONOCULAR,
+        "stereo": STEREO,
+        "rgbd": RGBD,
+        "mono-imu": IMU_MONOCULAR,
+    }[args.sensor]
     sys_cfg = SystemConfig(
         cam=cam, sensor=sensor, extractor=ecfg, use_loop_closing=not args.no_loop
     )
@@ -75,7 +88,26 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
+    def imu_tuple(samples, prev_ts):
+        """(acc (N,3), gyro (N,3), dts (N,)) from dataset ImuSamples since the
+        previous frame (reference: GrabImuData + PreintegrateIMU,
+        src/Tracking.cc:1621,1627)."""
+        if not samples:
+            return None
+        acc = np.stack([s.acc for s in samples]).astype(np.float32)
+        gyro = np.stack([s.gyro for s in samples]).astype(np.float32)
+        tss = np.array([s.ts for s in samples])
+        t0 = prev_ts if prev_ts is not None else tss[0]
+        dts = np.diff(np.concatenate([[t0], tss])).astype(np.float32)
+        dts = np.maximum(dts, 0.0)
+        return acc, gyro, dts
+
+    chunk_fe = None
+    if args.chunked and args.sensor == "mono":
+        chunk_fe = slam.make_chunked_frontend(chunk=args.chunk_size, lag=1)
+
     n_done = 0
+    prev_imu_ts = None
     t_start = time.perf_counter()
     for frame in ds:
         img = jnp.asarray(frame.image)
@@ -87,13 +119,18 @@ def main(argv=None):
                 feats_r.uv, feats_r.desc, feats_r.level, feats_r.valid,
                 bf=bf, min_z=0.3,
             )
-            slam.track_features(feats, frame.ts)
-            # depth injected at keyframe level through tracker.track(depth=)
-            slam.tracker._cur_depth = np.asarray(depth)
+            slam.track_features(feats, frame.ts, depth=np.asarray(depth))
         elif args.sensor == "rgbd" and frame.depth is not None:
             feats = extract(img, ecfg)
             depth = depth_from_depthmap(feats.uv, jnp.asarray(frame.depth))
-            slam.tracker.track(feats, frame.ts, depth=np.asarray(depth))
+            slam.track_features(feats, frame.ts, depth=np.asarray(depth))
+        elif args.sensor == "mono-imu":
+            samples = imu_tuple(frame.imu, prev_imu_ts)
+            if frame.imu:
+                prev_imu_ts = frame.imu[-1].ts
+            slam.track_monocular_inertial(img, frame.ts, samples)
+        elif chunk_fe is not None:
+            chunk_fe.track_image(np.asarray(frame.image, np.uint8), frame.ts)
         else:
             slam.track_monocular(img, frame.ts)
         n_done += 1
@@ -105,6 +142,9 @@ def main(argv=None):
                   f"kfs={slam.map.n_keyframes()} mps={slam.map.n_points()}",
                   file=sys.stderr)
 
+    if chunk_fe is not None:
+        chunk_fe.flush()
+    slam.shutdown()
     slam.save_trajectory_tum(args.out)
     if args.kf_out:
         slam.save_keyframe_trajectory_tum(args.kf_out)

@@ -132,6 +132,33 @@ class SlamSystem:
             with self.timing.measure("loop_closing"):
                 self.closer.on_keyframe(k)
 
+    def make_chunked_frontend(self, chunk: int = 16, lag: int = 1,
+                              async_mapping: bool = True):
+        """Chunk-pipelined image frontend (tracking/chunked.py): one device
+        dispatch extracts + tracks `chunk` frames, and keyframe processing
+        (local mapping -> loop closing, reference pipeline order) moves to a
+        worker thread — the TPU equivalent of the reference's three-thread
+        pipeline (src/System.cc:197,214).
+
+        Returns a ChunkedTracker; feed it track_image(img, ts) and read the
+        retired (frame_id, ts, T_cw|None) triples. Call flush() at end of
+        sequence, then SlamSystem.shutdown()."""
+        from ..tracking.chunked import ChunkedTracker
+
+        lock = None
+        if async_mapping:
+            from ..mapping.async_mapper import AsyncLocalMapper
+
+            post = self.closer.on_keyframe if self.closer is not None else None
+            am = AsyncLocalMapper(self.mapper, post_fn=post)
+            self.async_mapper = am
+            self.tracker.on_keyframe = am.on_keyframe
+            self.tracker.mapper_busy_fn = am.busy
+            lock = am.lock
+        return ChunkedTracker(
+            self.tracker, self.ecfg, chunk=chunk, lag=lag, map_lock=lock
+        )
+
     def _handle_loss(self):
         """Multi-map recovery: on LOST, store the map and start a new one
         (reference: src/Tracking.cc:2020-2026 — maps with <=10 KFs are reset
@@ -198,4 +225,8 @@ class SlamSystem:
 
     def shutdown(self):
         """Reference: System::Shutdown (src/System.cc:555)."""
+        am = getattr(self, "async_mapper", None)
+        if am is not None:
+            am.flush()
+            am.shutdown()
         return self.timing.summary()

@@ -1,0 +1,365 @@
+"""Chunked device-resident tracking: N frames per dispatch.
+
+On a TPU behind a network tunnel (and, less extremely, on any accelerator)
+each dispatch and each host<->device crossing has a fixed latency floor.
+The per-frame fused step (tracking/fused.py) pays that floor once per
+frame; this module amortizes it over a CHUNK of frames:
+
+- the host buffers K camera images (uint8),
+- ONE dispatch uploads the chunk, runs batched feature extraction
+  (features/extractor.py extract_batch) and lax.scan's the fused
+  match+pose-optimize step across the K frames sequentially on device,
+- the tiny per-frame outputs (pose, inlier count, associations) are read
+  back with a chunk of lag, so transfers overlap compute,
+- the host then replays the keyframe policy per frame (reference:
+  NeedNewKeyFrame src/Tracking.cc:3067) and creates keyframes
+  retroactively — features of keyframe frames are fetched on demand.
+
+The slow path (initialization, relocalization, loss recovery) stays in
+tracking/tracker.py at frame rate; images of in-flight chunks are kept on
+the host so a mid-chunk tracking loss replays the affected frames through
+the slow path (reference behavior: every frame passes Track()).
+"""
+from __future__ import annotations
+
+import threading
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..features.extractor import ExtractorConfig, Features, extract, extract_batch
+from ..lie.se3 import SE3
+from ..slam_map.map_state import NO_POINT
+from .fused import CACHE_CAP, DeviceTrackState, MapCache, make_step_body
+
+
+def make_chunk_step(cam, inv_s2_levels, ecfg: ExtractorConfig, rounds=3, iters=6):
+    """Jitted: (state, cache, imgs (K,H,W) uint8) ->
+    (state', per-frame outputs, per-frame Features [device-resident])."""
+    body = make_step_body(cam, inv_s2_levels, ecfg.n_features, rounds, iters)
+
+    @jax.jit
+    def chunk_step(state: DeviceTrackState, cache: MapCache, imgs):
+        feats = extract_batch(imgs.astype(jnp.float32), ecfg)
+
+        def scan_body(s, f):
+            s2, out = body(s, cache, f.uv, f.desc, f.level, f.valid)
+            return s2, out
+
+        state2, outs = jax.lax.scan(scan_body, state, feats)
+        return state2, outs, feats
+
+    return chunk_step
+
+
+class _PendingChunk:
+    __slots__ = ("fids", "tss", "n_valid", "outs", "feats", "cache_ids", "imgs")
+
+    def __init__(self, fids, tss, n_valid, outs, feats, cache_ids, imgs):
+        self.fids = fids
+        self.tss = tss
+        self.n_valid = n_valid
+        self.outs = outs
+        self.feats = feats
+        self.cache_ids = cache_ids
+        self.imgs = imgs  # host copies, for slow-path replay after a loss
+
+
+class ChunkedTracker:
+    """Chunk-pipelined frontend over tracking/tracker.py.
+
+    track_image() returns a list of (frame_id, ts, T_abs 4x4 | None) for
+    frames retired by this call (frames come back with up to
+    chunk*(lag+1) frames of latency; flush() drains the rest).
+    """
+
+    def __init__(
+        self,
+        tracker,
+        ecfg: ExtractorConfig,
+        chunk: int = 16,
+        lag: int = 1,
+        map_lock=None,
+        rounds: int = 3,
+        iters: int = 6,
+    ):
+        self.tracker = tracker
+        self.cfg = tracker.cfg
+        self.ecfg = ecfg
+        self.chunk = chunk
+        self.lag = lag
+        self.map_lock = map_lock or threading.Lock()
+        self.rounds = rounds
+        self.iters = iters
+        self._step = None
+        self._buf = []  # [(fid, ts, img_u8)]
+        self._pending: deque[_PendingChunk] = deque()
+        self.state: DeviceTrackState | None = None
+        self.cache: MapCache | None = None
+        self.cache_ids: np.ndarray | None = None
+
+    # ------------------------------------------------------------- cache
+    def refresh_cache(self):
+        """Rebuild the device point cache from the current local map."""
+        t = self.tracker
+        m = t.map
+        k = t.ref_kf
+        if k < 0 or not m.kf_valid[k]:
+            return
+        window = [k] + [int(x) for x in m.best_covisible(k, 10, min_weight=5)]
+        obs = m.kf_obs[window]
+        mp = np.unique(obs[obs >= 0])
+        mp = mp[m.mp_valid[mp]][:CACHE_CAP]
+        n = len(mp)
+        pos = np.zeros((CACHE_CAP, 3), np.float32)
+        desc = np.zeros((CACHE_CAP, 8), np.uint32)
+        valid = np.zeros(CACHE_CAP, bool)
+        ids = np.full(CACHE_CAP, -1, np.int32)
+        pos[:n] = m.mp_pos[mp]
+        desc[:n] = m.mp_desc[mp]
+        valid[:n] = True
+        ids[:n] = mp
+        self.cache = MapCache(
+            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid), jnp.asarray(ids)
+        )
+        self.cache_ids = ids
+
+    def _sync_state_from_tracker(self):
+        t = self.tracker
+        T = t.last.T_cw
+        T_prev = T if t.velocity is None else t.velocity.inverse() @ T
+        self.state = DeviceTrackState(
+            R=jnp.asarray(np.asarray(T.R, np.float32)),
+            t=jnp.asarray(np.asarray(T.t, np.float32)),
+            R_prev=jnp.asarray(np.asarray(T_prev.R, np.float32)),
+            t_prev=jnp.asarray(np.asarray(T_prev.t, np.float32)),
+            ok=jnp.asarray(True),
+        )
+
+    # -------------------------------------------------------------- track
+    def track_image(self, img, ts: float):
+        """img: (H, W) uint8 (or float castable). Returns retired frames."""
+        from .tracker import OK
+
+        t = self.tracker
+        retired = []
+        if t.state != OK or t.ref_kf < 0:
+            # make sure everything dispatched/buffered lands first
+            retired += self.flush()
+            retired.append(self._track_slow(np.asarray(img), ts))
+            return retired
+        self._buf.append((t.frame_id, ts, np.asarray(img, np.uint8)))
+        t.frame_id += 1
+        if len(self._buf) >= self.chunk:
+            self._dispatch_buffer()
+            while len(self._pending) > self.lag:
+                retired += self._retire_chunk(self._pending.popleft())
+        return retired
+
+    def flush(self):
+        """Dispatch any buffered frames and retire every pending chunk."""
+        from .tracker import OK
+
+        t = self.tracker
+        if (t.state != OK or t.ref_kf < 0) and (self._buf or self._pending):
+            # fast path unusable: replay everything through the slow path
+            replay = []
+            while self._pending:
+                q = self._pending.popleft()
+                replay += [(q.fids[i], q.tss[i], q.imgs[i]) for i in range(q.n_valid)]
+            replay += self._buf
+            self._buf = []
+            results = []
+            for fid, ts, img in replay:
+                t.frame_id = fid
+                results.append(self._track_slow(img, ts))
+            return results
+        retired = []
+        if self._buf:
+            self._dispatch_buffer()
+        while self._pending:
+            retired += self._retire_chunk(self._pending.popleft())
+        return retired
+
+    # ------------------------------------------------------------ internal
+    def _track_slow(self, img, ts):
+        """Per-frame slow path (init / reloc / recovery)."""
+        t = self.tracker
+        with self.map_lock:
+            feats = extract(jnp.asarray(img, jnp.float32), self.ecfg)
+            fid = t.frame_id
+            T = t.track(feats, ts)
+            from .tracker import OK
+
+            if t.state == OK:
+                self.refresh_cache()
+                self._sync_state_from_tracker()
+        return (fid, ts, T)
+
+    def _dispatch_buffer(self):
+        if self.cache is None or self.state is None:
+            self.refresh_cache()
+            self._sync_state_from_tracker()
+        if self._step is None:
+            self._step = make_chunk_step(
+                self.cfg.cam,
+                self.cfg.inv_level_sigma2(),
+                self.ecfg,
+                self.rounds,
+                self.iters,
+            )
+        fids = [b[0] for b in self._buf]
+        tss = [b[1] for b in self._buf]
+        imgs = [b[2] for b in self._buf]
+        n_valid = len(imgs)
+        while len(imgs) < self.chunk:  # tail padding; padded outputs ignored
+            imgs.append(imgs[-1])
+        batch = np.stack(imgs)
+        self.state, outs, feats = self._step(self.state, self.cache, jnp.asarray(batch))
+        # start moving the tiny outputs home; consumed a chunk later
+        for leaf in (outs.R, outs.t, outs.n_inliers, outs.obs_cache_idx):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass
+        self._pending.append(
+            _PendingChunk(fids, tss, n_valid, outs, feats, self.cache_ids, imgs)
+        )
+        self._buf = []
+
+    def _lazy_features(self, feats, i) -> Features:
+        """Device-resident slice of frame i's features — transfers to host
+        only if/when a consumer calls np.asarray (keyframe creation, loss)."""
+        return Features(
+            uv=feats.uv[i],
+            desc=feats.desc[i],
+            angle=feats.angle[i],
+            level=feats.level[i],
+            response=feats.response[i],
+            valid=feats.valid[i],
+        )
+
+    def _fetch_features(self, feats, i) -> Features:
+        """Host copy of frame i's features, one overlapped transfer batch."""
+        lazy = self._lazy_features(feats, i)
+        for leaf in lazy:
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass
+        return Features(*[np.asarray(leaf) for leaf in lazy])
+
+    def _retire_chunk(self, p: _PendingChunk):
+        from .tracker import RECENTLY_LOST, FrameRecord
+
+        t = self.tracker
+        m = t.map
+        cfg = self.cfg
+        R_all = np.asarray(p.outs.R)
+        t_all = np.asarray(p.outs.t)
+        n_inl_all = np.asarray(p.outs.n_inliers)
+        obs_cache_all = np.asarray(p.outs.obs_cache_idx)
+        results = []
+        # prefetch keyframe-candidate features early so transfers overlap the
+        # host-side retire loop (policy re-checked exactly per frame below)
+        for i in range(p.n_valid):
+            fid, ts = p.fids[i], p.tss[i]
+            n_inl = int(n_inl_all[i])
+            R, tt = R_all[i], t_all[i]
+            T = SE3(R, tt)
+            obs_mp = np.full(self.ecfg.n_features, NO_POINT, np.int32)
+            hit = obs_cache_all[i] >= 0
+            obs_mp[hit] = p.cache_ids[obs_cache_all[i][hit]]
+            stale = (obs_mp != NO_POINT) & ~m.mp_valid[np.maximum(obs_mp, 0)]
+            obs_mp[stale] = NO_POINT
+            T_abs = np.asarray(T.matrix())
+            if n_inl < cfg.min_inliers_local:
+                # tracking lost mid-chunk: replay the remainder (this chunk,
+                # all later pending chunks) through the per-frame slow path
+                t.state = RECENTLY_LOST
+                t.last = FrameRecord(
+                    self._fetch_features(p.feats, i), T, obs_mp, ts, fid
+                )
+                self.state = None
+                self.cache = None
+                results.append((fid, ts, None))
+                results += self._replay_after_loss(p, i + 1)
+                return results
+            rec = FrameRecord(self._lazy_features(p.feats, i), T, obs_mp, ts, fid)
+            if t.last is not None:
+                R_l = np.asarray(t.last.T_cw.R)
+                t_l = np.asarray(t.last.T_cw.t)
+                vR = R @ R_l.T
+                vt = tt - vR @ t_l
+                t.velocity = SE3(vR, vt)
+            t.last = rec
+            t.frames_since_kf += 1
+            t.n_last_inliers = n_inl
+            ref = t.ref_kf
+            if ref >= 0 and m.kf_valid[ref]:
+                T_kw = np.eye(4)
+                T_kw[:3, :3] = m.kf_R[ref]
+                T_kw[:3, 3] = m.kf_t[ref]
+                t.trajectory.append(
+                    (ts, fid, ref, int(m.kf_frame_id[ref]),
+                     T_abs @ np.linalg.inv(T_kw), T_abs)
+                )
+            else:
+                t.trajectory.append((ts, fid, -1, -1, T_abs, T_abs))
+            if t._need_new_keyframe(n_inl):
+                rec = FrameRecord(
+                    self._fetch_features(p.feats, i), T, obs_mp, ts, fid
+                )
+                t.last = rec
+                T_pre = np.eye(4)
+                T_pre[:3, :3] = R
+                T_pre[:3, 3] = tt
+                with self.map_lock:
+                    t._create_keyframe(rec)
+                # local BA may have moved the new keyframe: propagate the
+                # correction W into the device-resident state (else the
+                # pipeline drifts away from the optimized map)
+                k_new = t.ref_kf
+                T_post = np.eye(4)
+                T_post[:3, :3] = m.kf_R[k_new]
+                T_post[:3, 3] = m.kf_t[k_new]
+                W = np.linalg.inv(T_pre) @ T_post
+                if np.abs(W - np.eye(4)).max() > 1e-9 and self.state is not None:
+                    self._apply_world_correction(W)
+                self.refresh_cache()
+            results.append((fid, ts, T_abs))
+        return results
+
+    def _apply_world_correction(self, W):
+        Wj = jnp.asarray(W.astype(np.float32))
+
+        def corr(R, tt_):
+            T4 = jnp.concatenate(
+                [
+                    jnp.concatenate([R, tt_[:, None]], axis=1),
+                    jnp.asarray([[0.0, 0.0, 0.0, 1.0]]),
+                ],
+                axis=0,
+            ) @ Wj
+            return T4[:3, :3], T4[:3, 3]
+
+        R1, t1 = corr(self.state.R, self.state.t)
+        R0, t0 = corr(self.state.R_prev, self.state.t_prev)
+        self.state = DeviceTrackState(R1, t1, R0, t0, self.state.ok)
+
+    def _replay_after_loss(self, p: _PendingChunk, start: int):
+        """Feed frames after a mid-chunk loss back through the slow path."""
+        t = self.tracker
+        results = []
+        replay = [(p.fids[i], p.tss[i], p.imgs[i]) for i in range(start, p.n_valid)]
+        while self._pending:
+            q = self._pending.popleft()
+            replay += [(q.fids[i], q.tss[i], q.imgs[i]) for i in range(q.n_valid)]
+        replay += self._buf
+        self._buf = []
+        for fid, ts, img in replay:
+            t.frame_id = fid  # keep original frame ids through the replay
+            results.append(self._track_slow(img, ts))
+        return results

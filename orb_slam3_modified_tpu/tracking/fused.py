@@ -56,11 +56,14 @@ class StepOutput(NamedTuple):
     obs_cache_idx: jnp.ndarray  # (F,) int32 cache index per feature or -1
 
 
-def make_track_step(cam: Camera, inv_s2_levels, feat_cap: int):
-    """Build the jitted fused step for a given camera/feature capacity."""
+def make_step_body(
+    cam: Camera, inv_s2_levels, feat_cap: int, rounds: int = 4, iters: int = 8
+):
+    """Pure (state, cache, features) -> (state, out) step, shared by the
+    per-frame jit (make_track_step) and the chunked lax.scan pipeline
+    (tracking/chunked.py)."""
     inv_s2_levels = jnp.asarray(inv_s2_levels)
 
-    @jax.jit
     def track_step(
         state: DeviceTrackState,
         cache: MapCache,
@@ -104,7 +107,7 @@ def make_track_step(cam: Camera, inv_s2_levels, feat_cap: int):
             uv_obs = f_uv[idx]
             inv_s2 = inv_s2_levels[jnp.clip(f_level[idx], 0, inv_s2_levels.shape[0] - 1)]
             res = pose_optimization(
-                T_init, cam, pts, uv_obs, inv_s2, 4, 8, valid=keep
+                T_init, cam, pts, uv_obs, inv_s2, rounds, iters, valid=keep
             )
             return res, idx, keep
 
@@ -128,6 +131,11 @@ def make_track_step(cam: Camera, inv_s2_levels, feat_cap: int):
         return new_state, out
 
     return track_step
+
+
+def make_track_step(cam: Camera, inv_s2_levels, feat_cap: int):
+    """Build the jitted fused step for a given camera/feature capacity."""
+    return jax.jit(make_step_body(cam, inv_s2_levels, feat_cap))
 
 
 class FusedTracker:

@@ -155,6 +155,32 @@ class ImuFrontend:
         slam_map.kf_vel[k0] = self.v_w
         slam_map.kf_vel[k1] = self.v_w
 
+    def valid_chain(self, slam_map):
+        """Surviving keyframe chain with preintegrations MERGED across
+        culled keyframes. Slot validity is not enough: free-listed slots get
+        REUSED by newer keyframes, so the stored frame id must still match
+        (otherwise intervals pair with the wrong poses). Returns
+        (kfs, pres) with len(pres) == len(kfs) and pres[0] a placeholder
+        (edges are pres[1:], between consecutive surviving kfs)."""
+        kfs = [k for k, _, _ in self.kf_chain]
+        fids = [f for _, f, _ in self.kf_chain]
+        pres = [p for _, _, p in self.kf_chain]
+        keep = [
+            i
+            for i, (k, f) in enumerate(zip(kfs, fids))
+            if slam_map.kf_valid[k] and int(slam_map.kf_frame_id[k]) == f
+        ]
+        if not keep:
+            return [], []
+        kfs2, pres2 = [kfs[keep[0]]], [pres[keep[0]]]
+        for prev, cur in zip(keep[:-1], keep[1:]):
+            p = pres[prev + 1]
+            for j in range(prev + 2, cur + 1):
+                p = merge(p, pres[j])
+            kfs2.append(kfs[cur])
+            pres2.append(p)
+        return kfs2, pres2
+
     def maybe_initialize(self, slam_map, tracker) -> bool:
         """Staged IMU init on the keyframe chain (InitializeIMU analog)."""
         if self.first_kf_ts is None or len(self.kf_chain) < 4:
@@ -171,28 +197,9 @@ class ImuFrontend:
         if self.stage >= 3:
             return False
 
-        kfs = [k for k, _, _ in self.kf_chain]
-        fids = [f for _, f, _ in self.kf_chain]
-        pres = [p for _, _, p in self.kf_chain]
-        # drop chain entries whose kf was culled — slot validity is not
-        # enough: free-listed slots get REUSED by newer keyframes, so the
-        # stored frame id must still match (otherwise intervals pair with
-        # the wrong poses and the init scale collapses)
-        keep = [
-            i
-            for i, (k, f) in enumerate(zip(kfs, fids))
-            if slam_map.kf_valid[k] and int(slam_map.kf_frame_id[k]) == f
-        ]
-        if len(keep) < 4:
+        kfs2, pres2 = self.valid_chain(slam_map)
+        if len(kfs2) < 4:
             return False
-        # merge gaps over culled kfs
-        kfs2, pres2 = [kfs[keep[0]]], [pres[keep[0]]]
-        for prev, cur in zip(keep[:-1], keep[1:]):
-            p = pres[prev + 1]
-            for j in range(prev + 2, cur + 1):
-                p = merge(p, pres[j])
-            kfs2.append(kfs[cur])
-            pres2.append(p)
         chain = InertialChain.from_preintegrated(pres2[1:])
         R_bc = self.cfg.R_bc
         t_bc = self.cfg.t_bc
@@ -233,6 +240,8 @@ class ImuFrontend:
         v_new = np.asarray(res.v_w) @ R_wg  # rotate into aligned frame
         for i, k in enumerate(kfs2):
             slam_map.kf_vel[k] = v_new[i]
+            slam_map.kf_bias[k, :3] = np.asarray(res.bg)
+            slam_map.kf_bias[k, 3:] = np.asarray(res.ba)
         self.v_w = v_new[-1].astype(np.float32)
         self.bias = ImuBias(res.bg, res.ba)
         self.initialized = True
@@ -247,7 +256,36 @@ class ImuFrontend:
                 jnp.asarray(R_cw.astype(np.float32)), jnp.asarray(t_cw.astype(np.float32))
             )
             tracker.velocity = None
+        # joint full visual-inertial BA over the chain: poses + velocities +
+        # per-KF biases + points (reference: InitializeIMU runs FullInertialBA
+        # with 100 iters and priors 1e2/1e10 after ApplyScaledRotation,
+        # src/LocalMapping.cc:1280-1300; VIBA1/VIBA2 re-run it with 1/1e5 and
+        # 0/0). The newest KF's pose anchors the gauge so the tracker's
+        # current pose stays consistent.
+        self._full_vi_ba(slam_map, tracker, kfs2, pres2[1:])
         return True
+
+    def _full_vi_ba(self, slam_map, tracker, kfs, pres):
+        from ..optim.vi_ba import build_vi_problem, vi_bundle_adjust, write_back_vi
+
+        priors = {1: (1e2, 1e10), 2: (1.0, 1e5), 3: (0.0, 0.0)}
+        prior_g, prior_a = priors.get(self.stage, (0.0, 0.0))
+        fixed = np.zeros(len(kfs), bool)
+        fixed[-1] = True  # gauge on the newest KF (tracker-consistent)
+        if tracker is None:
+            return
+        tcfg = tracker.cfg
+        prob, kfs_np, mp_sel = build_vi_problem(
+            slam_map, tcfg, kfs, pres, fixed, prior_g, prior_a, self.cfg,
+            state_fixed=np.zeros(len(kfs), bool),
+        )
+        res = vi_bundle_adjust(prob, tcfg.cam, 2, 10)
+        write_back_vi(slam_map, res, kfs_np, mp_sel)
+        self.v_w = np.asarray(res.v_w)[len(kfs) - 1].astype(np.float32)
+        self.bias = ImuBias(
+            jnp.asarray(np.asarray(res.bg)[len(kfs) - 1]),
+            jnp.asarray(np.asarray(res.ba)[len(kfs) - 1]),
+        )
 
 
 def _apply_scaled_rotation(m, R_gw: np.ndarray, s: float):

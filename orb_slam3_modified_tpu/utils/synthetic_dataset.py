@@ -11,21 +11,30 @@ import os
 import numpy as np
 
 
+def camera_rays(cam):
+    """(H*W, 3) unit-plane rays for every pixel — constant per camera;
+    precompute once when rendering sequences."""
+    from ..cameras import unproject_np
+
+    h, w = cam.height, cam.width
+    ys, xs = np.mgrid[0:h, 0:w]
+    uv = np.stack([xs.ravel(), ys.ravel()], axis=-1).astype(np.float32)
+    return unproject_np(cam, uv)
+
+
 def render_textured_scene(
     T_cw: np.ndarray,  # (4, 4) world->cam
     cam,
     texture: np.ndarray,  # (TH, TW) float32 texture on the z=Z0 plane
     plane_z: float = 6.0,
     plane_half: float = 12.0,
+    rays_c: np.ndarray = None,  # optional precomputed camera_rays(cam)
 ):
     """Render a fronto-textured plane by inverse warping (plane z=Z0 in
     world; texture mapped over [-half, half]^2)."""
-    from ..cameras import unproject_np
-
     h, w = cam.height, cam.width
-    ys, xs = np.mgrid[0:h, 0:w]
-    uv = np.stack([xs.ravel(), ys.ravel()], axis=-1).astype(np.float32)
-    rays_c = unproject_np(cam, uv)  # (N, 3)
+    if rays_c is None:
+        rays_c = camera_rays(cam)  # (N, 3)
     R = T_cw[:3, :3]
     t = T_cw[:3, 3]
     # ray in world: origin = cam center, dir = R^T ray
