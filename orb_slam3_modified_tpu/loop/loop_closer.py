@@ -18,10 +18,14 @@ Flow per keyframe (host orchestration, device kernels for the heavy parts):
 from __future__ import annotations
 
 import dataclasses
+import logging
+import threading
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 from ..bow.kfdb import KeyFrameDatabase
 from ..bow.vocabulary import Vocabulary
@@ -40,10 +44,16 @@ class LoopCloserConfig:
     min_matches: int = 20  # point pairs required before Sim3
     min_sim3_inliers: int = 20
     consistency_needed: int = 3  # consecutive-KF confirmations
-    covis_weight_strong: int = 30  # essential-graph covisibility edges
+    # essential-graph strong-covisibility edges (reference: minFeat=100,
+    # src/Optimizer.cc:1560 region)
+    covis_weight_strong: int = 100
     run_gba: bool = True
     gba_max_kfs: int = 200  # reference: GBA only for maps < 200 KFs
     fix_scale: bool = False  # stereo/inertial: scale fixed
+    # run post-loop GBA on a worker thread with an abort flag, like the
+    # reference's transient GBA thread (src/LoopClosing.cc:1199-1206,
+    # mbStopGBA) — enabled by the system facade in pipelined mode
+    gba_async: bool = False
 
 
 class LoopCloser:
@@ -65,6 +75,12 @@ class LoopCloser:
         self.n_loops_closed = 0
         self.n_merges = 0
         self.last_loop_kf = -1
+        # async GBA machinery (reference: transient GBA thread + mbStopGBA)
+        self.map_lock = threading.RLock()  # overridden by the system facade
+        self._gba_thread: threading.Thread | None = None
+        self._gba_abort = threading.Event()
+        self.n_gba_runs = 0
+        self.n_gba_aborted = 0
         slam_map.kf_removed_callbacks.append(self._on_kf_removed)
 
     def _on_kf_removed(self, k: int):
@@ -222,6 +238,9 @@ class LoopCloser:
         OptimizeEssentialGraph src/Optimizer.cc:1501 + SearchAndFuse — the
         matched loop points are welded so the follow-up BA cannot relax the
         correction away)."""
+        # a running GBA operates on pre-correction state: abort it
+        # (reference: CorrectLoop sets mbStopGBA, src/LoopClosing.cc:975-999)
+        self.abort_gba()
         m = self.map
         kfs = m.keyframe_indices()
         kf_pos = {int(kf): i for i, kf in enumerate(kfs)}
@@ -282,7 +301,11 @@ class LoopCloser:
             edge_weight=jnp.asarray(np.array(wts, np.float32)),
             edge_valid=jnp.ones(len(ei), bool),
         )
-        S_opt = optimize_pose_graph(prob, False, 25)
+        # initialized inertial maps correct loops with translation+yaw only —
+        # gravity pins roll/pitch (reference: OptimizeEssentialGraph4DoF,
+        # src/Optimizer.cc:5292, selected at src/LoopClosing.cc:1193 region)
+        four_dof = bool(m.imu_initialized and m.n_inertial_ba >= 2)
+        S_opt = optimize_pose_graph(prob, four_dof, 25)
 
         # write back poses (Sim3 -> SE3 with scale folded into translation)
         se3_new = S_opt.to_se3()
@@ -313,9 +336,13 @@ class LoopCloser:
                 else:
                     m.replace_point(b, a)
 
-        # optional global BA (reference: only for maps < 200 KFs)
+        # optional global BA (reference: only for maps < 200 KFs; spawned on
+        # its own thread with an abort flag, src/LoopClosing.cc:1199-1206)
         if self.cfg.run_gba and K < self.cfg.gba_max_kfs:
-            self._global_ba()
+            if self.cfg.gba_async:
+                self._start_gba_async()
+            else:
+                self._global_ba()
 
     def _merge_maps(self, k: int, c: int, S_ck: Sim3):
         """Weld the active map into the candidate's map.
@@ -331,6 +358,7 @@ class LoopCloser:
         T_c = Sim3(
             jnp.asarray(1.0), jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c])
         )
+        self.abort_gba()  # a running GBA predates the merge: stop it
         S_dst_src = (T_c.inverse() @ S_ck) @ T_k
         src = int(m.kf_map[k])
         dst = int(m.kf_map[c])
@@ -360,18 +388,131 @@ class LoopCloser:
                 res = bundle_adjust(prob, self.tcfg.cam, 2, 5)
                 _write_back_ba(m, prob, res, kf_sel, mp_sel)
         except Exception:
-            pass
+            # the merge itself stands; a failed weld refinement only means
+            # the junction keeps its pre-BA geometry (reference behavior:
+            # merge completes even when the welding BA is skipped)
+            log.exception("merge weld BA failed; junction left unrefined")
 
-    def _global_ba(self):
-        """Reference: RunGlobalBundleAdjustment -> GlobalBundleAdjustemnt(10)."""
+    def _global_ba(self, abort: threading.Event | None = None):
+        """Reference: RunGlobalBundleAdjustment -> GlobalBundleAdjustemnt(10
+        iterations, abortable between rounds via mbStopGBA,
+        src/LoopClosing.cc:2268-2500). Returns True if it ran to completion.
+
+        Runs 2 rounds x 5 LM iterations (10 total, the reference's visual
+        GBA budget) with an abort check between rounds; on completion,
+        corrections are propagated to keyframes/points created while the
+        solve ran, via the spanning-tree parent chain (reference
+        :2330-2500)."""
         m = self.map
-        kfs = m.keyframe_indices()
-        mps = m.point_indices()
-        fixed = np.zeros(len(kfs), bool)
-        fixed[int(np.argmin(m.kf_frame_id[kfs]))] = True
-        from ..mapping.local_mapper import _pad_problem
+        with self.map_lock:
+            kfs = m.keyframe_indices()
+            mps = m.point_indices()
+            kfs_fid = m.kf_frame_id[kfs].copy()
+            fixed = np.zeros(len(kfs), bool)
+            fixed[int(np.argmin(kfs_fid))] = True
+            from ..mapping.local_mapper import _pad_problem
 
-        prob = _build_ba_problem(m, self.tcfg, kfs, mps, fixed)
-        prob = _pad_problem(prob)
-        res = bundle_adjust(prob, self.tcfg.cam, 2, 5)
-        _write_back_ba(m, prob, res, kfs, mps)
+            prob = _build_ba_problem(m, self.tcfg, kfs, mps, fixed)
+            prob = _pad_problem(prob)
+            # pre-solve poses, for propagating corrections to late keyframes
+            pre_R = m.kf_R[kfs].copy()
+            pre_t = m.kf_t[kfs].copy()
+        res = None
+        for round_idx in range(2):
+            if abort is not None and abort.is_set():
+                self.n_gba_aborted += 1
+                return False
+            # split the reference's (2 rounds x 5 iters) schedule into two
+            # dispatches: Huber round, reclassify outliers, plain round
+            res = bundle_adjust(prob, self.tcfg.cam, 1, 5, round_idx == 0)
+            prob = prob._replace(
+                T_cw=res.T_cw, points=res.points,
+                obs_valid=prob.obs_valid & res.obs_inlier,
+            )
+        if abort is not None and abort.is_set():
+            self.n_gba_aborted += 1
+            return False
+        with self.map_lock:
+            # keyframes culled/replaced during the solve keep their state
+            alive = m.kf_valid[kfs] & (m.kf_frame_id[kfs] == kfs_fid)
+            R_opt = np.asarray(res.T_cw.R)[: len(kfs)]
+            t_opt = np.asarray(res.T_cw.t)[: len(kfs)]
+            m.kf_R[kfs[alive]] = R_opt[alive]
+            m.kf_t[kfs[alive]] = t_opt[alive]
+            mp_alive = m.mp_valid[mps]
+            m.mp_pos[mps[mp_alive]] = np.asarray(res.points)[: len(mps)][mp_alive]
+            # propagate to keyframes created during the GBA through the
+            # parent chain: T_new = (T_child T_parent_pre^-1) T_parent_opt
+            if m.kf_parent is not None:
+                in_gba = np.zeros(m.kf_valid.shape[0], bool)
+                in_gba[kfs[alive]] = True
+                pos_of = {int(k): i for i, k in enumerate(kfs)}
+                new_kfs = np.flatnonzero(m.kf_valid & ~in_gba)
+                corrected_R = {int(k): R_opt[pos_of[int(k)]] for k in kfs[alive]}
+                corrected_t = {int(k): t_opt[pos_of[int(k)]] for k in kfs[alive]}
+                pre_R_of = {int(k): pre_R[pos_of[int(k)]] for k in kfs[alive]}
+                pre_t_of = {int(k): pre_t[pos_of[int(k)]] for k in kfs[alive]}
+                for k in sorted(new_kfs, key=lambda x: int(m.kf_frame_id[x])):
+                    p = int(m.kf_parent[k])
+                    if p < 0 or p not in corrected_R:
+                        continue
+                    T_c = np.eye(4)
+                    T_c[:3, :3] = m.kf_R[k]
+                    T_c[:3, 3] = m.kf_t[k]
+                    T_pp = np.eye(4)
+                    T_pp[:3, :3] = pre_R_of[p]
+                    T_pp[:3, 3] = pre_t_of[p]
+                    T_po = np.eye(4)
+                    T_po[:3, :3] = corrected_R[p]
+                    T_po[:3, 3] = corrected_t[p]
+                    T_new = (T_c @ np.linalg.inv(T_pp)) @ T_po
+                    # late kfs become "corrected" parents for their children
+                    pre_R_of[int(k)] = m.kf_R[k].copy()
+                    pre_t_of[int(k)] = m.kf_t[k].copy()
+                    corrected_R[int(k)] = T_new[:3, :3].astype(np.float32)
+                    corrected_t[int(k)] = T_new[:3, 3].astype(np.float32)
+                    m.kf_R[k] = T_new[:3, :3]
+                    m.kf_t[k] = T_new[:3, 3]
+                # points created during the GBA: correct via their first kf
+                in_ba_pt = np.zeros(m.mp_valid.shape[0], bool)
+                in_ba_pt[mps] = True
+                new_pts = np.flatnonzero(m.mp_valid & ~in_ba_pt)
+                for mp in new_pts:
+                    r = int(m.mp_first_kf[mp])
+                    if r not in corrected_R or r not in pre_R_of:
+                        continue
+                    p_cam = pre_R_of[r] @ m.mp_pos[mp] + pre_t_of[r]
+                    Rn, tn = corrected_R[r], corrected_t[r]
+                    m.mp_pos[mp] = (Rn.T @ (p_cam - tn)).astype(np.float32)
+        self.n_gba_runs += 1
+        return True
+
+    # ------------------------------------------------------------ async GBA
+    def _start_gba_async(self):
+        self.abort_gba()
+        self._gba_abort.clear()
+        abort = self._gba_abort
+
+        def run():
+            try:
+                self._global_ba(abort)
+            except Exception:
+                log.exception("async global BA failed")
+
+        self._gba_thread = threading.Thread(target=run, daemon=True, name="gba")
+        self._gba_thread.start()
+
+    def abort_gba(self):
+        """Stop a running global BA (reference: mbStopGBA)."""
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            self._gba_abort.set()
+            t.join()
+        self._gba_thread = None
+
+    def wait_gba(self):
+        """Block until a running global BA finishes (shutdown path)."""
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            t.join()
+        self._gba_thread = None

@@ -22,8 +22,23 @@ _tried = False
 
 def _build():
     src = os.path.join(_HERE, "covis.cc")
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", _LIB_PATH]
+    # portable baseline ISA: the library may outlive the machine it was
+    # built on (a checked-in or cached -march=native binary can SIGILL on
+    # a different CPU); -O3 auto-vectorizes the hot loops regardless
+    cmd = ["g++", "-O3", "-shared", "-fPIC", src, "-o", _LIB_PATH]
     subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _smoke_test(lib) -> bool:
+    """One tiny call per entry point: a stale/foreign binary fails here
+    instead of deep inside tracking."""
+    obs = np.full((2, 4), -1, np.int32)
+    obs[0, 0] = 0
+    obs[1, 1] = 0
+    valid = np.ones(2, bool)
+    out = np.empty(2, np.int32)
+    lib.covis_weights(obs, valid.view(np.uint8), 2, 4, 4, 0, out)
+    return out[1] == 1 and out[0] == 0
 
 
 def get_lib():
@@ -46,6 +61,8 @@ def get_lib():
         lib.point_observers.argtypes = [p32, pu8, i64, i64, i64, p32, i64, pu8]
         lib.observers_of_point.argtypes = [p32, pu8, i64, i64, ctypes.c_int32, p32, p32, i64]
         lib.observers_of_point.restype = i64
+        if not _smoke_test(lib):
+            raise RuntimeError("native covis smoke test failed")
         _lib = lib
     except Exception:
         _lib = None

@@ -120,17 +120,22 @@ def _schur_solve(prob, K, P, w, r, Jpose, Jpt, lam):
     return dx_cam.reshape(K, 6), dx_pt
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def bundle_adjust(
     prob: BAProblem,
     cam: Camera,
     rounds: int = 2,
     iters_per_round: int = 5,
+    huber: bool | None = None,
 ):
     """Robust BA. Mirrors the reference LocalBA schedule: each round runs
     `iters_per_round` LM iterations then reclassifies chi2>5.991 (or negative
     depth) observations as outliers (reference: src/Optimizer.cc:1350-1400
-    region)."""
+    region).
+
+    huber: None = Huber on all but the last round (the reference schedule);
+    True/False force it for every round (used when a caller splits the
+    schedule into separately-dispatched abortable chunks)."""
     K = prob.T_cw.t.shape[0]
     P = prob.points.shape[0]
 
@@ -141,7 +146,7 @@ def bundle_adjust(
 
     def lm_round(round_idx, carry):
         Rk, tk, pts, inlier = carry
-        use_huber = round_idx < rounds - 1
+        use_huber = (round_idx < rounds - 1) if huber is None else huber
 
         def lm_iter(_, st):
             Rk, tk, pts, lam = st

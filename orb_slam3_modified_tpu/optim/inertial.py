@@ -93,7 +93,6 @@ def inertial_residuals(
     vi, vj = v_w[:-1], v_w[1:]
     dt = chain.dT[:, None]
 
-    dbg = bg - jnp.zeros(3)  # linearization at stored bias = chain bias
     dR_corr = chain.dR @ so3.exp(
         jnp.einsum("eij,j->ei", chain.JRg, bg)
     )
@@ -150,8 +149,6 @@ def linear_inertial_init(chain: InertialChain, R_wb, p_w):
     A_p = A_p.at[..., 0:1].set(col_s)
     A_p = A_p.at[..., 1:4].set(col_g)
     # v_i coefficient: -RiT*dt at block i
-    for e_axis in range(1):
-        pass
     idx_i = jnp.arange(E)
     # use scatter via one-hot over K blocks
     onehot_i = (idx_i[:, None] == jnp.arange(K)[None, :]).astype(p_w.dtype)

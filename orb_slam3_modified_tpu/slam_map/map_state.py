@@ -54,6 +54,9 @@ class MapState:
     # include/KeyFrame.h:148-191 serialize block)
     kf_vel: np.ndarray = None  # (K, 3) body velocity in world
     kf_bias: np.ndarray = None  # (K, 6) [bg, ba]
+    # spanning tree: parent keyframe at creation (reference:
+    # KeyFrame::mpParent, include/KeyFrame.h:233-239). -1 = root.
+    kf_parent: np.ndarray = None  # (K,) int32
     # multi-map (Atlas) labels: which logical map each kf/point belongs to.
     # A single SoA arena holds every map (reference: Atlas holds Map*s,
     # include/Atlas.h:79); sharing the index space makes the keyframe
@@ -67,6 +70,11 @@ class MapState:
     n_inertial_ba: int = 0  # 0 = none, 1 = VIBA1 done, 2 = VIBA2 done
     imu_initialized: bool = False
     kf_removed_callbacks: list = dataclasses.field(default_factory=list)
+    # cull-time redirects for trajectory replay (reference: SetBadFlag
+    # records mTcp = T_culled_parent; SaveTrajectory* walks the chain,
+    # src/System.cc:648-663). Keyed by (slot, frame_id) because slots are
+    # free-listed and reused. Value: (parent_slot, parent_frame_id, T_cp 4x4).
+    culled_redirect: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
     def create(max_kf: int = 512, max_mp: int = 32768, feat_cap: int = 1024):
@@ -74,6 +82,7 @@ class MapState:
         return MapState(
             kf_map=np.zeros(K, np.int32),
             mp_map=np.zeros(M, np.int32),
+            kf_parent=np.full(K, -1, np.int32),
             kf_vel=np.zeros((K, 3), np.float32),
             kf_bias=np.zeros((K, 6), np.float32),
             kf_valid=np.zeros(K, bool),
@@ -250,6 +259,26 @@ class MapState:
         self.kf_obs[kill] = NO_POINT
 
     def remove_keyframe(self, k: int):
+        # spanning-tree maintenance (reference: KeyFrame::SetBadFlag records
+        # mTcp = T_culled * T_parent^-1 for trajectory replay and re-parents
+        # children, src/KeyFrame.cc SetBadFlag + src/System.cc:648-663)
+        if self.kf_parent is not None:
+            p = int(self.kf_parent[k])
+            if p >= 0 and self.kf_valid[p]:
+                T_k = np.eye(4)
+                T_k[:3, :3] = self.kf_R[k]
+                T_k[:3, 3] = self.kf_t[k]
+                T_p = np.eye(4)
+                T_p[:3, :3] = self.kf_R[p]
+                T_p[:3, 3] = self.kf_t[p]
+                self.culled_redirect[(int(k), int(self.kf_frame_id[k]))] = (
+                    p,
+                    int(self.kf_frame_id[p]),
+                    T_k @ np.linalg.inv(T_p),
+                )
+            # children re-anchor to the culled keyframe's parent
+            children = np.flatnonzero(self.kf_valid & (self.kf_parent == k))
+            self.kf_parent[children] = p
         self.kf_valid[k] = False
         self.kf_obs[k] = NO_POINT
         self.kf_feat_valid[k] = False

@@ -155,6 +155,11 @@ class SlamSystem:
             self.tracker.on_keyframe = am.on_keyframe
             self.tracker.mapper_busy_fn = am.busy
             lock = am.lock
+            if self.closer is not None:
+                # post-loop global BA runs on its own abortable thread
+                # (reference: transient GBA thread, src/LoopClosing.cc:1199)
+                self.closer.map_lock = am.lock
+                self.closer.cfg.gba_async = True
         return ChunkedTracker(
             self.tracker, self.ecfg, chunk=chunk, lag=lag, map_lock=lock
         )
@@ -229,4 +234,6 @@ class SlamSystem:
         if am is not None:
             am.flush()
             am.shutdown()
+        if self.closer is not None:
+            self.closer.wait_gba()
         return self.timing.summary()

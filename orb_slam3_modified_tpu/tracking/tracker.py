@@ -67,7 +67,7 @@ class TrackerConfig:
     min_inliers_track: int = 10  # reference: nmatchesMap >= 10
     min_inliers_local: int = 30  # reference: mnMatchesInliers < 30 -> lost
     max_frames_between_kf: int = 10  # reference mMaxFrames ~ fps; tightened
-    min_frames_between_kf: int = 0
+    min_frames_between_kf: int = 3  # reference mMinFrames
     kf_tracked_ratio: float = 0.9  # reference thRefRatio for mono
     depth_point_max: float = 40.0  # stereo/RGB-D close-point depth gate (m)
     recently_lost_budget: int = 60  # frames before LOST (~3 s, src/Tracking.cc:1990)
@@ -178,19 +178,34 @@ class Tracker:
     def absolute_trajectory(self):
         """Replay the relative-pose log against CURRENT keyframe poses
         (reference: SaveTrajectoryTUM replays mlRelativeFramePoses,
-        src/System.cc:609-700). Returns [(ts, fid, T_cw 4x4)]."""
+        src/System.cc:609-700; culled reference keyframes are replayed
+        through the spanning-tree parent chain via the cull-time relative
+        pose, src/System.cc:648-663). Returns [(ts, fid, T_cw 4x4)]."""
+        m = self.map
         out = []
         for ts, fid, ref, ref_fid, T_rel, T_abs in self.trajectory:
-            # the reference kf must still be alive AND be the same keyframe
-            # (free-listed slots get reused by later keyframes)
-            if (
+            T_rel = np.asarray(T_rel, np.float64)
+            # walk cull-time redirects until we land on a live keyframe
+            # (the reference kf must still be alive AND be the same keyframe
+            # — free-listed slots get reused by later keyframes)
+            hops = 0
+            while (
                 ref >= 0
-                and self.map.kf_valid[ref]
-                and int(self.map.kf_frame_id[ref]) == ref_fid
+                and hops < 64
+                and not (m.kf_valid[ref] and int(m.kf_frame_id[ref]) == ref_fid)
             ):
+                redirect = m.culled_redirect.get((ref, ref_fid))
+                if redirect is None:
+                    ref = -1
+                    break
+                parent, parent_fid, T_cp = redirect
+                T_rel = T_rel @ T_cp
+                ref, ref_fid = parent, parent_fid
+                hops += 1
+            if ref >= 0 and m.kf_valid[ref] and int(m.kf_frame_id[ref]) == ref_fid:
                 T_kw = np.eye(4, dtype=np.float64)
-                T_kw[:3, :3] = self.map.kf_R[ref]
-                T_kw[:3, 3] = self.map.kf_t[ref]
+                T_kw[:3, :3] = m.kf_R[ref]
+                T_kw[:3, 3] = m.kf_t[ref]
                 out.append((ts, fid, T_rel @ T_kw))
             else:
                 out.append((ts, fid, T_abs))
@@ -309,6 +324,9 @@ class Tracker:
             m.kf_angle[k] = np.asarray(f.angle)
             m.kf_feat_valid[k] = np.asarray(f.valid)
 
+        if m.kf_parent is not None:
+            m.kf_parent[k0] = -1
+            m.kf_parent[k1] = k0
         slots0 = np.flatnonzero(good)
         mp_idx = m.alloc_points(len(slots0))
         m.mp_pos[mp_idx] = pts[slots0]
@@ -376,7 +394,7 @@ class Tracker:
             R_p, t_p = np.asarray(T_pred.R), np.asarray(T_pred.t)
             pc = pos @ R_p.T + t_p
             uv_pred = project_np(cfg.cam, pc)
-            lvl_pred = self._predict_levels(pos, T_pred)
+            lvl_pred = self._predict_levels(cand_mp, np.linalg.norm(pc, axis=-1))
             in_front = pc[:, 2] > 0
             radius = jnp.asarray(15.0 * cfg.scale_factors(), jnp.float32)
             idx, okm, dist = search_by_projection(
@@ -447,16 +465,18 @@ class Tracker:
             self._create_keyframe(rec)
         return T_cur
 
-    def _predict_levels(self, pos_w, T_cw):
-        """Predict observation octave from distance (reference
-        MapPoint::PredictScale, include/MapPoint.h:152)."""
+    def _predict_levels(self, mp_idx, dist):
+        """Predict observation octave from distance to the camera center
+        (reference MapPoint::PredictScale, include/MapPoint.h:152:
+        level = ceil(log(max_dist/dist)/log(scale)), clipped to [0, L-1])."""
         m = self.map
         cfg = self.cfg
-        center = np.asarray(T_cw.inverse().t)
-        dist = np.linalg.norm(pos_w - center[None], axis=-1)
-        # level = ceil(log(max_dist/dist)/log(scale))
-        # use stored per-point max_dist where finite, else level 0
-        return np.zeros(len(pos_w), np.int32)
+        max_d = m.mp_max_dist[mp_idx]
+        ratio = np.where(
+            np.isfinite(max_d) & (max_d > 0), max_d, 1.0
+        ) / np.maximum(dist, 1e-6)
+        lvl = np.ceil(np.log(np.maximum(ratio, 1e-6)) / np.log(cfg.scale))
+        return np.clip(lvl, 0, cfg.n_levels - 1).astype(np.int32)
 
     def _pose_opt(self, T0, pts_w, uv, inv_s2):
         """Static-shape pose optimization: associations padded to
@@ -585,10 +605,28 @@ class Tracker:
             R_c, t_c = np.asarray(T_cur.R), np.asarray(T_cur.t)
             pc = pos @ R_c.T + t_c
             uv_pred = project_np(cfg.cam, pc)
+            # frustum gates (reference: Frame::isInFrustum, src/Frame.cc:512 —
+            # image bounds, scale-invariance distance range, viewing cos >= 0.5)
+            dist_c = np.linalg.norm(pc, axis=-1)
+            cam_center = -R_c.T @ t_c
+            view = pos - cam_center[None]
+            view_cos = np.einsum("ij,ij->i", view, m.mp_normal[mp_new]) / np.maximum(
+                dist_c, 1e-9
+            )
+            # points with no computed normal yet (zero vector) pass the gate
+            view_cos = np.where(
+                np.linalg.norm(m.mp_normal[mp_new], axis=-1) > 0.5, view_cos, 1.0
+            )
+            max_d = m.mp_max_dist[mp_new]
+            in_range = (dist_c >= 0.8 * m.mp_min_dist[mp_new]) & np.where(
+                np.isfinite(max_d), dist_c <= 1.2 * max_d, True
+            )
             in_img = (
                 (pc[:, 2] > 0.05)
                 & (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < cfg.cam.width)
                 & (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] < cfg.cam.height)
+                & in_range
+                & (view_cos >= 0.5)
             )
             # pad to capacity for static shapes
             cap = cfg.local_points_cap
@@ -597,7 +635,7 @@ class Tracker:
             uv_p = np.pad(uv_pred, ((0, pad), (0, 0)))
             desc_p = np.pad(m.mp_desc[mp_new], ((0, pad), (0, 0)))
             valid_p = np.pad(in_img & m.mp_valid[mp_new], (0, pad))
-            lvl_p = np.zeros(cap, np.int32)
+            lvl_p = np.pad(self._predict_levels(mp_new, dist_c), (0, pad))
             # unmatched frame features only
             f_free = np.asarray(feats.valid) & (obs_mp == NO_POINT)
             radius = jnp.asarray(4.0 * cfg.scale_factors(), jnp.float32)
@@ -605,7 +643,7 @@ class Tracker:
                 jnp.asarray(uv_p), jnp.asarray(lvl_p),
                 jnp.asarray(desc_p), jnp.asarray(valid_p),
                 feats.uv, feats.level, feats.desc, jnp.asarray(f_free),
-                radius, level_tol=8, max_dist=TH_HIGH, ratio=0.8,
+                radius, level_tol=1, max_dist=TH_HIGH, ratio=0.8,
             )
             keep = resolve_duplicate_targets(idx, okm, dist, feats.capacity)
             keep_np = np.asarray(keep)[:npts]
@@ -652,7 +690,11 @@ class Tracker:
             # tracking is about to starve (reference behavior: interrupt BA
             # only for c1-type urgency)
             c2 = c2 and n_inl < 0.25 * max(n_ref, 1)
-        return (c1 or c2) and n_inl >= 15 and self.frames_since_kf >= 3
+        return (
+            (c1 or c2)
+            and n_inl >= 15
+            and self.frames_since_kf >= self.cfg.min_frames_between_kf
+        )
 
     def _create_keyframe(self, rec: FrameRecord):
         """Reference: CreateNewKeyFrame (src/Tracking.cc:3219)."""
@@ -669,6 +711,12 @@ class Tracker:
         m.kf_angle[k] = np.asarray(f.angle)
         m.kf_feat_valid[k] = np.asarray(f.valid)
         m.kf_obs[k] = rec.obs_mp
+        # spanning tree: parent = the reference keyframe at creation
+        # (reference: CreateNewKeyFrame -> KeyFrame ctor + ChangeParent)
+        if m.kf_parent is not None:
+            m.kf_parent[k] = self.ref_kf if (
+                self.ref_kf >= 0 and m.kf_valid[self.ref_kf]
+            ) else -1
         if rec.depth is not None:
             self._spawn_depth_points(k, rec)
         if self.imu is not None:
