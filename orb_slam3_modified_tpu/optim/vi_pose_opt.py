@@ -37,6 +37,22 @@ class VIPoseResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+class VIMargResult(NamedTuple):
+    T_cw: SE3
+    v_w: jnp.ndarray  # (3,) current body velocity
+    dbg: jnp.ndarray  # (3,) bias delta from the linearization bias
+    dba: jnp.ndarray
+    inliers: jnp.ndarray
+    n_inliers: jnp.ndarray
+    # marginalization products for the NEXT frame's solve: the current
+    # state's posterior information with the previous state Schur'd out
+    # (reference: Marginalize src/Optimizer.cc:2960 -> EdgePriorPoseImu
+    # include/G2oTypes.h:732). Anchored at (R_wb, p_wb, v_w, bias+delta).
+    H_marg: jnp.ndarray  # (15, 15)
+    R_wb: jnp.ndarray  # (3, 3) current body rotation (anchor)
+    p_wb: jnp.ndarray  # (3,) current body position (anchor)
+
+
 @partial(jax.jit, static_argnums=(18, 19))
 def vi_pose_optimization(
     T_cw0: SE3,
@@ -121,4 +137,142 @@ def vi_pose_optimization(
     inl = valid & (chi2 < CHI2_MONO) & (pc[..., 2] > 0)
     return VIPoseResult(
         SE3(so3.normalize(T.R), T.t), v, dbg, dba, inl, jnp.sum(inl)
+    )
+
+
+@partial(jax.jit, static_argnums=(20,))
+def vi_pose_optimization_marg(
+    T_cw0: SE3,
+    cam: Camera,
+    pts_w,  # (N, 3)
+    uv_obs,  # (N, 2)
+    inv_s2,  # (N,)
+    valid,  # (N,)
+    # previous frame body state (anchor of the 15-D prior)
+    R_prev,  # (3, 3) R_wb
+    p_prev,  # (3,)
+    v_prev,  # (3,)
+    # 15-D prior information on the previous state, anchored at the above
+    # (reference: EdgePriorPoseImu built by Marginalize,
+    # include/G2oTypes.h:732, src/Optimizer.cc:2960)
+    H_prior,  # (15, 15) [phi, dp, dv, dbg, dba]
+    # preintegration prev->cur, deltas at the shared linearization bias
+    dT, dR, dV, dP, JRg, JVg, JVa, JPg, JPa,
+    C=None,  # (15, 15) preintegration covariance for whitening
+    iters: int = 8,
+):
+    """Joint {previous, current} 30-D visual-inertial frame solve.
+
+    Reference: PoseInertialOptimizationLastFrame (src/Optimizer.cc:4875) —
+    the previous frame is a VERTEX held by a finite 15-D marginalization
+    prior instead of being fixed, the current frame carries the visual
+    edges, and EdgeInertial + bias random walk couple the two. After the
+    solve the previous state is Schur-marginalized out of the 30x30 Hessian
+    to produce the prior for the next frame (reference: Marginalize
+    src/Optimizer.cc:2960).
+
+    Identity camera-body extrinsics (R_bc=I): body pose == camera pose.
+    State layout x = [prev: phi(3), dp(3), dv(3), dbg(3), dba(3) |
+                      cur:  phi(3), dp(3), dv(3), dbg(3), dba(3)],
+    with R = R0 exp(phi), p = p0 + dp (world frame), anchored at the
+    previous solution / IMU prediction.
+    """
+    # current-state anchor from the camera pose seed
+    R_cur0 = jnp.swapaxes(T_cw0.R, -1, -2)  # R_wb
+    p_cur0 = -jnp.einsum("ij,j->i", R_cur0, T_cw0.t)
+    v_cur0 = v_prev + GRAVITY_VEC * dT + jnp.einsum("ij,j->i", R_prev, dV)
+
+    # whitening factors
+    jitter9 = 1e-10 * jnp.eye(9)
+    C9 = jnp.eye(9) * 1e-6 if C is None else 0.5 * (C[:9, :9] + C[:9, :9].T)
+    L_inert = jnp.linalg.cholesky(
+        jnp.linalg.inv(C9 + jitter9) + jitter9
+    )  # info = L L^T, whitened r' = L^T r
+    # bias random walk over the gap (reference EdgeGyroRW/EdgeAccRW with the
+    # walk covariance block of the preintegration)
+    C_rw = (
+        jnp.eye(6) * 1e-8
+        if C is None
+        else 0.5 * (C[9:15, 9:15] + C[9:15, 9:15].T)
+    )
+    L_rw = jnp.linalg.cholesky(jnp.linalg.inv(C_rw + 1e-12 * jnp.eye(6)) + 1e-12 * jnp.eye(6))
+    H_p = 0.5 * (H_prior + H_prior.T)
+    L_prior = jnp.linalg.cholesky(H_p + 1e-8 * jnp.eye(15))
+
+    def unpack(x):
+        phi_p, dp_p, dv_p = x[0:3], x[3:6], x[6:9]
+        dbg_p, dba_p = x[9:12], x[12:15]
+        phi_c, dp_c, dv_c = x[15:18], x[18:21], x[21:24]
+        dbg_c, dba_c = x[24:27], x[27:30]
+        Rp = R_prev @ so3.exp(phi_p)
+        pp = p_prev + dp_p
+        vp = v_prev + dv_p
+        Rc = R_cur0 @ so3.exp(phi_c)
+        pc_ = p_cur0 + dp_c
+        vc = v_cur0 + dv_c
+        return (Rp, pp, vp, dbg_p, dba_p), (Rc, pc_, vc, dbg_c, dba_c)
+
+    def residuals(x):
+        (Rp, pp, vp, dbg_p, dba_p), (Rc, pc_b, vc, dbg_c, dba_c) = unpack(x)
+        # visual block on the current camera pose
+        R_cw = Rc.T
+        t_cw = -Rc.T @ pc_b
+        pcam = pts_w @ R_cw.T + t_cw
+        uv = project(cam, pcam)
+        r = (uv - uv_obs) * jnp.sqrt(jnp.maximum(inv_s2, 1e-9))[:, None]
+        chi2 = jnp.sum(r * r, axis=-1)
+        w_rob = jnp.sqrt(huber_weight(chi2, DELTA_MONO))
+        w = valid.astype(r.dtype) * (pcam[..., 2] > 0.05)
+        r_vis = (r * (w * w_rob)[:, None]).reshape(-1)
+        # inertial residual prev->cur at the previous bias + its delta
+        dR_c = dR @ so3.exp(JRg @ dbg_p)
+        dV_c = dV + JVg @ dbg_p + JVa @ dba_p
+        dP_c = dP + JPg @ dbg_p + JPa @ dba_p
+        RiT = Rp.T
+        r_R = so3.log(dR_c.T @ RiT @ Rc)
+        r_v = RiT @ (vc - vp - GRAVITY_VEC * dT) - dV_c
+        r_p = RiT @ (pc_b - pp - vp * dT - 0.5 * GRAVITY_VEC * dT * dT) - dP_c
+        r_inert = L_inert.T @ jnp.concatenate([r_R, r_v, r_p])
+        # bias random walk between the two states
+        r_rw = L_rw.T @ jnp.concatenate([dbg_c - dbg_p, dba_c - dba_p])
+        # 15-D prior on the previous state (anchored at zero deltas)
+        r_prior = L_prior.T @ x[:15]
+        return jnp.concatenate([r_vis, r_inert, r_rw, r_prior])
+
+    def gn_step(_, carry):
+        x, lam = carry
+        r = residuals(x)
+        J = jax.jacfwd(residuals)(x)
+        H = J.T @ J
+        b = J.T @ r
+        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(30)
+        dx = -jnp.linalg.solve(Hd, b)
+        x_new = x + dx
+        good = jnp.sum(residuals(x_new) ** 2) < jnp.sum(r * r)
+        x = jnp.where(good, x_new, x)
+        lam = jnp.where(good, lam * 0.5, lam * 4.0)
+        return x, lam
+
+    x, _ = jax.lax.fori_loop(
+        0, iters, gn_step, (jnp.zeros(30, jnp.float32), jnp.asarray(1e-3))
+    )
+    (_, _, _, _, _), (Rc, pc_b, vc, dbg_c, dba_c) = unpack(x)
+    Rc = so3.normalize(Rc)
+    R_cw = Rc.T
+    t_cw = -Rc.T @ pc_b
+    T = SE3(R_cw, t_cw)
+    pcam = pts_w @ R_cw.T + t_cw
+    uv = project(cam, pcam)
+    chi2 = jnp.sum((uv - uv_obs) ** 2, axis=-1) * inv_s2
+    inl = valid & (chi2 < CHI2_MONO) & (pcam[..., 2] > 0)
+    # marginalize the previous state out of the final Hessian
+    J = jax.jacfwd(residuals)(x)
+    H = J.T @ J
+    H_pp = H[:15, :15] + 1e-6 * jnp.eye(15)
+    H_cc = H[15:, 15:]
+    H_cp = H[15:, :15]
+    H_marg = H_cc - H_cp @ jnp.linalg.solve(H_pp, H_cp.T)
+    H_marg = 0.5 * (H_marg + H_marg.T)
+    return VIMargResult(
+        T, vc, dbg_c, dba_c, inl, jnp.sum(inl), H_marg, Rc, pc_b
     )

@@ -57,6 +57,12 @@ class ImuFrontend:
         self.stage = 0  # 0=none, 1=init done, 2=VIBA1, 3=VIBA2
         self.preint_frame: Preintegrated | None = None  # since last frame
         self.preint_kf: Preintegrated | None = None  # since last keyframe
+        # 15-D marginalization prior on the last frame's state (reference:
+        # mpcpi / EdgePriorPoseImu, src/Tracking.cc uses the prior produced
+        # by Marginalize after each PoseInertialOptimizationLastFrame).
+        # Anchored at the last solved body state + current bias.
+        self.marg_prior: np.ndarray | None = None  # (15, 15)
+        self._marg_pending: np.ndarray | None = None
         self.kf_chain: list = []  # [(kf_idx, Preintegrated from prev kf)]
         self.first_kf_ts: float | None = None
         self.R_gw = np.eye(3, dtype=np.float32)  # gravity alignment applied
@@ -121,6 +127,10 @@ class ImuFrontend:
         the IMU prediction when initialized."""
         if dt <= 0:
             return
+        # commit the marginalization prior produced by this frame's final
+        # pose solve; it constrains the next frame's solve
+        self.marg_prior = self._marg_pending
+        self._marg_pending = None
         if self.initialized and hasattr(self, "_pred_v"):
             self.v_w = self._pred_v
         else:
@@ -130,6 +140,10 @@ class ImuFrontend:
 
     # -------------------------------------------------------- per keyframe
     def on_keyframe(self, kf_idx: int, ts: float, slam_map):
+        # keyframe processing (local/VI BA) moves the map the prior was
+        # linearized against: drop it (rebuilt on the next frame solve)
+        self.marg_prior = None
+        self._marg_pending = None
         if self.first_kf_ts is None:
             self.first_kf_ts = ts
         if self.preint_kf is not None:
@@ -244,6 +258,8 @@ class ImuFrontend:
             slam_map.kf_bias[k, 3:] = np.asarray(res.ba)
         self.v_w = v_new[-1].astype(np.float32)
         self.bias = ImuBias(res.bg, res.ba)
+        self.marg_prior = None  # world frame + bias changed under the prior
+        self._marg_pending = None
         self.initialized = True
         self.stage += 1
         slam_map.imu_initialized = True

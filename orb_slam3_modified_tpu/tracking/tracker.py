@@ -144,6 +144,8 @@ class Tracker:
                 if self.imu is not None:
                     self.imu.preint_frame = None
                     self.imu.preint_kf = None
+                    self.imu.marg_prior = None
+                    self.imu._marg_pending = None
                 self.velocity = None
             elif dt_gap > 1.0 and self.state == OK:
                 self.state = RECENTLY_LOST
@@ -430,6 +432,10 @@ class Tracker:
                 T_cur, obs_mp = rel
                 ok_track = True
                 self.velocity = None
+                if self.imu is not None:
+                    # relocalized pose breaks the prior's anchoring
+                    self.imu.marg_prior = None
+                    self.imu._marg_pending = None
         if not ok_track:
             self.lost_frames += 1
             if self.state == OK:
@@ -498,21 +504,36 @@ class Tracker:
             and self.last is not None
             and np.allclose(imu.cfg.R_bc, np.eye(3))
         ):
-            from ..optim.vi_pose_opt import vi_pose_optimization
+            from ..optim.vi_pose_opt import vi_pose_optimization_marg
 
             pre = imu.preint_frame
             R_cw_prev = np.asarray(self.last.T_cw.R)
             R_prev = R_cw_prev.T  # R_wb of previous frame (body == camera)
             p_prev = -R_cw_prev.T @ np.asarray(self.last.T_cw.t)
-            res = vi_pose_optimization(
+            if imu.marg_prior is not None:
+                H_prior = imu.marg_prior
+            else:
+                # no prior yet (first frame after init / keyframe / reloc):
+                # strong default holds the previous state near-fixed, which
+                # reproduces the prior-free behavior while still producing a
+                # marginal for the next frame
+                H_prior = np.diag(
+                    np.concatenate(
+                        [np.full(6, 1e6), np.full(3, 1e4), np.full(6, 1e4)]
+                    )
+                ).astype(np.float32)
+            res = vi_pose_optimization_marg(
                 T0, self.cfg.cam, pts_p, uv_p, is2_p, jnp.asarray(valid),
                 jnp.asarray(R_prev.astype(np.float32)),
                 jnp.asarray(p_prev.astype(np.float32)),
                 jnp.asarray(imu.v_w),
+                jnp.asarray(H_prior),
                 pre.dT, pre.dR, pre.dV, pre.dP,
                 pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa,
+                C=pre.C,
             )
             imu._pred_v = np.asarray(res.v_w)
+            imu._marg_pending = np.asarray(res.H_marg)
             return res.T_cw, np.asarray(res.inliers)[: len(pts_w)]
         res = pose_optimization(
             T0,

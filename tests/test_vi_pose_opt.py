@@ -92,3 +92,61 @@ class TestVIPoseOpt:
         ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
         assert ang < 2.0
         assert np.isfinite(np.asarray(res.T_cw.t)).all()
+
+
+class TestVIMargPoseOpt:
+    def _solve(self, H_prior, few=None, seed=0):
+        from orb_slam3_modified_tpu.optim.vi_pose_opt import (
+            vi_pose_optimization_marg,
+        )
+
+        T_gt, R0, p0, v0, v_end, pre, pts_w, uv = make_vi_case(seed=seed)
+        if few is not None:
+            pts_w, uv = pts_w[:few], uv[:few]
+        n = pts_w.shape[0]
+        xi = jnp.asarray([0.02, -0.01, 0.015, 0.01, -0.008, 0.012])
+        T0 = se3.exp(xi) @ T_gt
+        res = vi_pose_optimization_marg(
+            T0, CAM, pts_w, uv, jnp.ones(n), jnp.ones(n, bool),
+            jnp.asarray(R0.astype(np.float32)), jnp.asarray(p0.astype(np.float32)),
+            jnp.asarray(v0.astype(np.float32)),
+            jnp.asarray(H_prior.astype(np.float32)),
+            pre.dT, pre.dR, pre.dV, pre.dP,
+            pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa,
+            C=pre.C,
+        )
+        return T_gt, v_end, res
+
+    def test_converges_with_strong_prior(self):
+        H = np.diag(np.concatenate([np.full(6, 1e6), np.full(9, 1e4)]))
+        T_gt, v_end, res = self._solve(H)
+        dR = np.asarray(res.T_cw.R) @ np.asarray(T_gt.R).T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 0.3, f"rot err {ang}"
+        assert np.linalg.norm(np.asarray(res.T_cw.t) - np.asarray(T_gt.t)) < 0.05
+        assert np.linalg.norm(np.asarray(res.v_w) - v_end) < 0.1
+
+    def test_marginal_information_is_psd_and_informative(self):
+        H = np.diag(np.concatenate([np.full(6, 1e6), np.full(9, 1e4)]))
+        _, _, res = self._solve(H)
+        Hm = np.asarray(res.H_marg)
+        evals = np.linalg.eigvalsh(0.5 * (Hm + Hm.T))
+        assert evals.min() > -1e-2 * max(evals.max(), 1.0)
+        # pose block should carry substantial information from 300 points
+        assert np.trace(Hm[:6, :6]) > 1e3
+
+    def test_prior_reduces_drift_under_dropout(self):
+        """With a near-total feature dropout, the frame carrying a strong
+        marginalization prior + IMU must stay closer to truth than one with
+        a weak prior (the information-forgetting failure mode the reference
+        avoids via EdgePriorPoseImu)."""
+        strong = np.diag(np.concatenate([np.full(6, 1e6), np.full(9, 1e4)]))
+        weak = np.eye(15) * 1e-4
+        errs = {}
+        for name, H in (("strong", strong), ("weak", weak)):
+            T_gt, _, res = self._solve(H, few=4, seed=3)
+            errs[name] = float(
+                np.linalg.norm(np.asarray(res.T_cw.t) - np.asarray(T_gt.t))
+            )
+        assert errs["strong"] <= errs["weak"] + 1e-6, errs
+        assert errs["strong"] < 0.2, errs
