@@ -216,6 +216,29 @@ class LoopCloser:
         )
         if not bool(res.success):
             return None
+        # joint bidirectional reprojection refinement of the hypothesis
+        # (reference: OptimizeSim3, src/Optimizer.cc:2115 — Sim3Solver's
+        # closed-form estimate is polished against both frames' pixels
+        # before it is trusted for loop correction)
+        from .sim3_solver import optimize_sim3
+
+        inv_s2_levels = self.tcfg.inv_level_sigma2()
+        slot_k_sel = slots_k[sel]
+        slot_c_sel = slots_c[np.clip(idx_np[sel], 0, len(slots_c) - 1)]
+        uv_c = _pad1(m.kf_uv[c, slot_c_sel], cap)
+        uv_k = _pad1(m.kf_uv[k, slot_k_sel], cap)
+        is2_c = _pad1(inv_s2_levels[m.kf_level[c, slot_c_sel]], cap, 1.0)
+        is2_k = _pad1(inv_s2_levels[m.kf_level[k, slot_k_sel]], cap, 1.0)
+        S_ref, inl_ref, n_ref = optimize_sim3(
+            res.S_12, self.tcfg.cam, self.tcfg.cam,
+            jnp.asarray(_pad1(pc, cap)), jnp.asarray(_pad1(pk, cap)),
+            jnp.asarray(uv_c), jnp.asarray(uv_k),
+            jnp.asarray(is2_c), jnp.asarray(is2_k),
+            jnp.asarray(valid) & res.inliers,
+            fix_scale=self.cfg.fix_scale,
+        )
+        if int(n_ref) >= self.cfg.min_sim3_inliers:
+            res = res._replace(S_12=S_ref, inliers=inl_ref, n_inliers=n_ref)
         inl = np.asarray(res.inliers)[:n]
         pairs = (mp_k[:n][inl], mp_c[:n][inl])
         if self.cfg.fix_scale:

@@ -99,3 +99,114 @@ def solve_sim3_ransac(
     S_ref = Sim3(s, R, t)
     ok = n_inl[best] >= min_inliers
     return Sim3Result(ok, S_ref, inliers, n_inl[best])
+
+
+def optimize_sim3(
+    S12: Sim3,
+    cam1,
+    cam2,
+    p1_c1,  # (N, 3) matched points in kf1 camera coords
+    p2_c2,  # (N, 3) same points in kf2 camera coords
+    uv1,  # (N, 2) observed pixels in kf1
+    uv2,  # (N, 2) observed pixels in kf2
+    inv_s2_1,  # (N,) octave information in kf1
+    inv_s2_2,  # (N,)
+    valid,  # (N,)
+    fix_scale: bool = False,
+    iters: int = 10,
+    chi2_thresh: float = 9.210,
+):
+    """Joint bidirectional reprojection refinement of a Sim3 hypothesis.
+
+    TPU-native replacement for Optimizer::OptimizeSim3 (reference:
+    src/Optimizer.cc:2115): minimize, over the 7-DoF (or 6 with fix_scale)
+    similarity S12, the reprojection of kf2's points into kf1
+    (EdgeSim3ProjectXYZ) AND kf1's points into kf2 via S12^-1
+    (EdgeInverseSim3ProjectXYZ), Huber-robust, with the reference's
+    chi2 > 9.210 outlier gate. Points stay fixed, exactly as the reference
+    fixes VertexSBAPointXYZ there.
+
+    Returns (S12_refined, inliers (N,), n_inliers).
+    """
+    from functools import partial as _partial
+
+    from ..cameras import project
+    from ..lie import so3
+
+    delta = jnp.sqrt(chi2_thresh)
+
+    def apply_state(x):
+        # x: (7,) [phi(3), dt(3), dlog_s(1)] right-perturbation on S12
+        R = S12.R @ so3.exp(x[:3])
+        t = S12.t + x[3:6]
+        s = S12.s * jnp.exp(x[6]) if not fix_scale else S12.s
+        return Sim3(s, R, t)
+
+    def residuals(x):
+        S = apply_state(x)
+        Sinv = S.inverse()
+        q1 = S.apply(p2_c2)  # kf2 points in kf1 camera
+        q2 = Sinv.apply(p1_c1)
+        r1 = (project(cam1, q1) - uv1) * jnp.sqrt(inv_s2_1)[:, None]
+        r2 = (project(cam2, q2) - uv2) * jnp.sqrt(inv_s2_2)[:, None]
+        w1 = valid & (q1[..., 2] > 0.05)
+        w2 = valid & (q2[..., 2] > 0.05)
+        return r1, r2, w1, w2
+
+    def chi2_of(x):
+        r1, r2, w1, w2 = residuals(x)
+        c1 = jnp.sum(r1 * r1, axis=-1)
+        c2 = jnp.sum(r2 * r2, axis=-1)
+        c1 = jnp.where(w1, c1, jnp.inf)
+        c2 = jnp.where(w2, c2, jnp.inf)
+        return c1, c2
+
+    def flat_res(x, inl):
+        r1, r2, w1, w2 = residuals(x)
+        c1 = jnp.sum(r1 * r1, axis=-1)
+        c2 = jnp.sum(r2 * r2, axis=-1)
+        from ..optim.robust import huber_weight
+
+        h1 = jnp.sqrt(huber_weight(c1, delta))
+        h2 = jnp.sqrt(huber_weight(c2, delta))
+        m1 = (w1 & inl).astype(r1.dtype) * h1
+        m2 = (w2 & inl).astype(r2.dtype) * h2
+        return jnp.concatenate(
+            [(r1 * m1[:, None]).reshape(-1), (r2 * m2[:, None]).reshape(-1)]
+        )
+
+    @_partial(jax.jit, static_argnums=())
+    def solve(inl0):
+        def gn_step(_, carry):
+            x, lam, inl = carry
+            r = flat_res(x, inl)
+            J = jax.jacfwd(flat_res)(x, inl)
+            H = J.T @ J
+            b = J.T @ r
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(7)
+            dx = -jnp.linalg.solve(Hd, b)
+            dx = jnp.where(fix_scale, dx.at[6].set(0.0), dx)
+            x_new = x + dx
+            good = jnp.sum(flat_res(x_new, inl) ** 2) < jnp.sum(r * r)
+            x = jnp.where(good, x_new, x)
+            lam = jnp.where(good, lam * 0.5, lam * 4.0)
+            return x, lam, inl
+
+        x0 = jnp.zeros(7, jnp.float32)
+        # round 1: optimize, drop chi2 > 9.210 in EITHER view, re-optimize
+        # (reference: the vbIsInKF2 erase loop + second optimize(nMoreIters))
+        x, _, _ = jax.lax.fori_loop(
+            0, iters // 2, gn_step, (x0, jnp.asarray(1e-3), inl0)
+        )
+        c1, c2 = chi2_of(x)
+        inl1 = inl0 & (c1 < chi2_thresh) & (c2 < chi2_thresh)
+        x, _, _ = jax.lax.fori_loop(
+            0, iters - iters // 2, gn_step, (x, jnp.asarray(1e-3), inl1)
+        )
+        c1, c2 = chi2_of(x)
+        inl2 = inl0 & (c1 < chi2_thresh) & (c2 < chi2_thresh)
+        return x, inl2
+
+    x, inl = solve(valid)
+    S_out = apply_state(x)
+    return S_out, inl, jnp.sum(inl)

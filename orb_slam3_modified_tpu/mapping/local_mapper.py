@@ -502,4 +502,10 @@ def _pad_problem(prob):
         obs_uv=jnp.concatenate([prob.obs_uv, jnp.zeros((pad_o, 2))], 0),
         obs_inv_s2=jnp.concatenate([prob.obs_inv_s2, jnp.ones(pad_o)]),
         obs_valid=jnp.concatenate([prob.obs_valid, jnp.zeros(pad_o, bool)]),
+        obs_ur=(
+            None
+            if prob.obs_ur is None
+            else jnp.concatenate([prob.obs_ur, jnp.full(pad_o, -1.0)])
+        ),
+        bf=prob.bf,
     )

@@ -106,6 +106,62 @@ def refine_disparity_sad(
     return jnp.where(matched, u_refined, u_r)
 
 
+def match_stereo_general(
+    uv_l, desc_l, level_l, valid_l,
+    uv_r, desc_r, level_r, valid_r,
+    cam_l, cam_r, R_rl, t_rl,
+    max_dist: int = 50,
+    reproj_chi2: float = 5.991,
+    max_parallax_cos: float = 0.9998,
+):
+    """Non-rectified stereo (e.g. KB8 fisheye): mutual-best descriptor
+    matching + two-view triangulation against the known left->right
+    extrinsics (R_rl, t_rl with p_r = R_rl p_l + t_rl).
+
+    TPU-native replacement for Frame::ComputeStereoFishEyeMatches
+    (reference: src/Frame.cc:1126 — BFMatcher knn + TriangulateMatches) and
+    KannalaBrandt8::TriangulateMatches' depth/parallax/reprojection gates
+    (include/CameraModels/KannalaBrandt8.h:78-86).
+
+    Returns (depth (F,), valid (F,)): depth of each left feature in the
+    left camera frame, <=0 for unmatched/rejected.
+    """
+    import jax.numpy as _jnp
+
+    from ..cameras import unproject
+    from ..geom.triangulation import depth_and_reproj_checks, triangulate_rays
+    from ..lie.se3 import SE3
+
+    lvl_ok = _jnp.abs(level_l[:, None] - level_r[None, :]) <= 1
+    dm = hamming_matrix(desc_l, desc_r)
+    dm = _jnp.where(
+        valid_l[:, None] & valid_r[None, :] & lvl_ok, dm, MAX_DIST
+    )
+    best = _jnp.argmin(dm, axis=1)
+    bd = _jnp.take_along_axis(dm, best[:, None], axis=1)[:, 0]
+    # mutual consistency
+    best_rev = _jnp.argmin(dm, axis=0)
+    mutual = best_rev[best] == _jnp.arange(uv_l.shape[0])
+    matched = (bd < max_dist) & mutual & valid_l
+    ray_l = unproject(cam_l, uv_l)  # (F, 3) unit-plane rays, z=1 direction
+    ray_r = unproject(cam_r, uv_r[best])
+    T_cw1 = SE3.identity()  # left camera = world
+    T_cw2 = SE3(_jnp.asarray(R_rl), _jnp.asarray(t_rl))  # right <- left(world)
+    pw = triangulate_rays(T_cw1.inverse(), T_cw2.inverse(), ray_l, ray_r)
+    x1 = ray_l[..., :2] / _jnp.maximum(ray_l[..., 2:], 1e-9)
+    x2 = ray_r[..., :2] / _jnp.maximum(ray_r[..., 2:], 1e-9)
+    # unit-plane threshold: chi2 / focal^2 (per-level sigma folded by caller
+    # via level gating; the reference uses sigma-scaled pixel thresholds)
+    f_l = cam_l.params[0]
+    f_r = cam_r.params[0]
+    thr = reproj_chi2 / _jnp.minimum(f_l, f_r) ** 2
+    ok3d, _, _, _ = depth_and_reproj_checks(
+        T_cw1, T_cw2, pw, x1, x2, thr, max_parallax_cos
+    )
+    depth = _jnp.where(matched & ok3d, pw[..., 2], -1.0)
+    return depth, matched & ok3d & (pw[..., 2] > 0)
+
+
 def depth_from_depthmap(uv, depth_map, depth_scale: float = 1.0):
     """RGB-D: sample depth at feature locations (reference: Frame RGB-D ctor
     src/Frame.cc:200 + ComputeStereoFromRGBD :984)."""

@@ -30,7 +30,13 @@ import jax.numpy as jnp
 from ..cameras import Camera, project, project_jac
 from ..lie import se3, so3
 from ..lie.se3 import SE3
-from .robust import CHI2_MONO, DELTA_MONO, huber_weight
+from .robust import (
+    CHI2_MONO,
+    CHI2_STEREO,
+    DELTA_MONO,
+    DELTA_STEREO,
+    huber_weight,
+)
 
 
 class PoseOptResult(NamedTuple):
@@ -40,16 +46,30 @@ class PoseOptResult(NamedTuple):
     chi2: jnp.ndarray  # (N,) final per-point chi2
 
 
-def _residuals_and_jac(T_cw: SE3, cam: Camera, pts_w, uv_obs):
+def _residuals_and_jac(T_cw: SE3, cam: Camera, pts_w, uv_obs, ur_obs=None, bf=None):
+    """Mono rows (du, dv); with ur_obs also the stereo row dur, uR = u - bf/z
+    (reference EdgeStereoOnlyPose, include/G2oTypes.h:440)."""
     pc = T_cw.apply(pts_w)  # (N, 3)
     uv = project(cam, pc)
-    r = uv - uv_obs  # (N, 2)
     Jproj = project_jac(cam, pc)  # (N, 2, 3)
+    if ur_obs is not None:
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        ur_pred = uv[..., 0] - bf / z
+        r = jnp.concatenate(
+            [uv - uv_obs, (ur_pred - ur_obs)[:, None]], axis=-1
+        )  # (N, 3)
+        N = pc.shape[0]
+        e_z = jnp.zeros((N, 3), pc.dtype).at[:, 2].set(bf / (z * z))
+        Jproj = jnp.concatenate(
+            [Jproj, (Jproj[:, 0, :] + e_z)[:, None, :]], axis=1
+        )
+    else:
+        r = uv - uv_obs  # (N, 2)
     # d pc / d xi (left-mult on T_cw): [ I | -hat(pc) ]  (rho, phi ordering)
     N = pts_w.shape[0]
     I3 = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (N, 3, 3))
     Jse3 = jnp.concatenate([I3, -so3.hat(pc)], axis=-1)  # (N, 3, 6)
-    J = Jproj @ Jse3  # (N, 2, 6)
+    J = Jproj @ Jse3  # (N, R, 6)
     return r, J, pc
 
 
@@ -63,17 +83,35 @@ def pose_optimization(
     rounds: int = 4,
     iters: int = 10,
     valid=None,
+    ur_obs=None,
+    bf=None,
 ):
     """Optimize T_cw. pts_w: (N, 3); uv_obs: (N, 2); inv_sigma2: (N,) per-level
     information (1/1.2^(2*octave), reference mvInvLevelSigma2); valid: (N,).
+
+    ur_obs: optional (N,) right-image u for rectified-stereo observations
+    (<0 = mono row); bf = baseline * fx. Adds the reference's EdgeStereo
+    (u, v, uR) 3-D residual with the 7.815 chi2 gate.
     """
     if valid is None:
         valid = jnp.ones(pts_w.shape[0], dtype=bool)
+    N = pts_w.shape[0]
+    if ur_obs is not None:
+        is_st = (ur_obs >= 0).astype(jnp.float32)
+        rmask = jnp.stack(
+            [jnp.ones(N), jnp.ones(N), is_st], axis=-1
+        )
+        chi2_thr = jnp.where(ur_obs >= 0, CHI2_STEREO, CHI2_MONO)
+        delta = jnp.where(ur_obs >= 0, DELTA_STEREO, DELTA_MONO)
+    else:
+        rmask = jnp.ones((N, 2))
+        chi2_thr = CHI2_MONO
+        delta = DELTA_MONO
     state0 = (T_cw0.R, T_cw0.t, valid)
 
     def chi2_of(T, w_in):
-        r, _, pc = _residuals_and_jac(T, cam, pts_w, uv_obs)
-        c = jnp.sum(r * r, axis=-1) * inv_sigma2
+        r, _, pc = _residuals_and_jac(T, cam, pts_w, uv_obs, ur_obs, bf)
+        c = jnp.sum(r * r * rmask, axis=-1) * inv_sigma2
         behind = pc[..., 2] <= 0.0
         return jnp.where(behind, jnp.inf, c)
 
@@ -84,20 +122,21 @@ def pose_optimization(
         def lm_iter(_, st):
             R, t, lam = st
             T = SE3(R, t)
-            r, J, pc = _residuals_and_jac(T, cam, pts_w, uv_obs)
-            chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-            w_rob = jnp.where(use_huber, huber_weight(chi2, DELTA_MONO), 1.0)
+            r, J, pc = _residuals_and_jac(T, cam, pts_w, uv_obs, ur_obs, bf)
+            chi2 = jnp.sum(r * r * rmask, axis=-1) * inv_sigma2
+            w_rob = jnp.where(use_huber, huber_weight(chi2, delta), 1.0)
             w = inl.astype(r.dtype) * valid.astype(r.dtype) * w_rob * inv_sigma2
             w = jnp.where(pc[..., 2] > 0, w, 0.0)
-            H = jnp.einsum("nri,n,nrj->ij", J, w, J)
-            b = jnp.einsum("nri,n,nr->i", J, w, r)
+            wr = w[:, None] * rmask  # (N, R)
+            H = jnp.einsum("nri,nr,nrj->ij", J, wr, J)
+            b = jnp.einsum("nri,nr,nr->i", J, wr, r)
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
             dx = -jnp.linalg.solve(Hd, b)
             T_new = se3.exp(dx) @ T
             # accept if cost decreased (LM): compare weighted cost
             c_old = jnp.sum(w * chi2 / jnp.maximum(inv_sigma2, 1e-12))
-            r2, _, pc2 = _residuals_and_jac(T_new, cam, pts_w, uv_obs)
-            chi2_new = jnp.sum(r2 * r2, axis=-1) * inv_sigma2
+            r2, _, pc2 = _residuals_and_jac(T_new, cam, pts_w, uv_obs, ur_obs, bf)
+            chi2_new = jnp.sum(r2 * r2 * rmask, axis=-1) * inv_sigma2
             c_new = jnp.sum(w * jnp.where(pc2[..., 2] > 0, chi2_new, chi2) / jnp.maximum(inv_sigma2, 1e-12))
             good = c_new < c_old
             R_out = jnp.where(good, T_new.R, T.R)
@@ -108,7 +147,7 @@ def pose_optimization(
         R, t, _ = jax.lax.fori_loop(0, iters, lm_iter, (R, t, jnp.asarray(1e-3)))
         T = SE3(R, t)
         chi2 = chi2_of(T, inl)
-        inl_new = valid & (chi2 < CHI2_MONO)
+        inl_new = valid & (chi2 < chi2_thr)
         return R, t, inl_new
 
     R, t, inl = jax.lax.fori_loop(0, rounds, lm_round, state0)

@@ -22,7 +22,9 @@ def main(argv=None):
     p.add_argument("--dataset", choices=["euroc", "tum", "kitti"], required=True)
     p.add_argument("--path", required=True)
     p.add_argument("--config", default=None, help="settings YAML (reference format)")
-    p.add_argument("--sensor", choices=["mono", "stereo", "rgbd", "mono-imu"], default="mono")
+    p.add_argument("--sensor",
+                   choices=["mono", "stereo", "rgbd", "mono-imu", "stereo-imu"],
+                   default="mono")
     p.add_argument("--out", default="trajectory_tum.txt")
     p.add_argument("--kf-out", default=None)
     p.add_argument("--atlas-out", default=None, help="save atlas checkpoint")
@@ -35,9 +37,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from .cameras import Camera
-    from .features.extractor import ExtractorConfig, extract
+    from .features.extractor import ExtractorConfig
     from .io.datasets import EurocDataset, KittiDataset, TumDataset
-    from .ops.stereo_match import depth_from_depthmap, match_stereo
     from .system.slam_system import (
         IMU_MONOCULAR,
         MONOCULAR,
@@ -59,14 +60,19 @@ def main(argv=None):
         ecfg = ExtractorConfig()
         bf = 458.654 * 0.11
 
+    from .system.slam_system import IMU_STEREO
+
     sensor = {
         "mono": MONOCULAR,
         "stereo": STEREO,
         "rgbd": RGBD,
         "mono-imu": IMU_MONOCULAR,
+        "stereo-imu": IMU_STEREO,
     }[args.sensor]
     sys_cfg = SystemConfig(
-        cam=cam, sensor=sensor, extractor=ecfg, use_loop_closing=not args.no_loop
+        cam=cam, sensor=sensor, extractor=ecfg,
+        use_loop_closing=not args.no_loop,
+        bf=bf if "stereo" in args.sensor or args.sensor == "rgbd" else 0.0,
     )
     slam = SlamSystem(sys_cfg)
     if args.atlas_in:
@@ -79,7 +85,7 @@ def main(argv=None):
             slam.closer.map = slam.map
 
     if args.dataset == "euroc":
-        ds = EurocDataset(args.path, stereo=args.sensor == "stereo",
+        ds = EurocDataset(args.path, stereo="stereo" in args.sensor,
                           with_imu="imu" in args.sensor)
     elif args.dataset == "tum":
         ds = TumDataset(args.path, with_depth=args.sensor == "rgbd")
@@ -111,19 +117,18 @@ def main(argv=None):
     t_start = time.perf_counter()
     for frame in ds:
         img = jnp.asarray(frame.image)
-        if args.sensor == "stereo" and frame.image_right is not None:
-            feats = extract(img, ecfg)
-            feats_r = extract(jnp.asarray(frame.image_right), ecfg)
-            _, depth, _ = match_stereo(
-                feats.uv, feats.desc, feats.level, feats.valid,
-                feats_r.uv, feats_r.desc, feats_r.level, feats_r.valid,
-                bf=bf, min_z=0.3,
+        if args.sensor in ("stereo", "stereo-imu") and frame.image_right is not None:
+            samples = None
+            if "imu" in args.sensor:
+                samples = imu_tuple(frame.imu, prev_imu_ts)
+                if frame.imu:
+                    prev_imu_ts = frame.imu[-1].ts
+            slam.track_stereo(
+                img, jnp.asarray(frame.image_right), frame.ts,
+                imu_samples=samples,
             )
-            slam.track_features(feats, frame.ts, depth=np.asarray(depth))
         elif args.sensor == "rgbd" and frame.depth is not None:
-            feats = extract(img, ecfg)
-            depth = depth_from_depthmap(feats.uv, jnp.asarray(frame.depth))
-            slam.track_features(feats, frame.ts, depth=np.asarray(depth))
+            slam.track_rgbd(img, jnp.asarray(frame.depth), frame.ts)
         elif args.sensor == "mono-imu":
             samples = imu_tuple(frame.imu, prev_imu_ts)
             if frame.imu:

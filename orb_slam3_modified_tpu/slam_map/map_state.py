@@ -54,6 +54,10 @@ class MapState:
     # include/KeyFrame.h:148-191 serialize block)
     kf_vel: np.ndarray = None  # (K, 3) body velocity in world
     kf_bias: np.ndarray = None  # (K, 6) [bg, ba]
+    # rectified-stereo right-image u per feature, <0 = mono (reference:
+    # Frame::mvuRight carried onto the KeyFrame; feeds the EdgeStereo
+    # (u,v,uR) residual in BA solves, include/G2oTypes.h:414)
+    kf_ur: np.ndarray = None  # (K, F) float32
     # spanning tree: parent keyframe at creation (reference:
     # KeyFrame::mpParent, include/KeyFrame.h:233-239). -1 = root.
     kf_parent: np.ndarray = None  # (K,) int32
@@ -96,6 +100,7 @@ class MapState:
             kf_angle=np.zeros((K, F), np.float32),
             kf_feat_valid=np.zeros((K, F), bool),
             kf_obs=np.full((K, F), NO_POINT, np.int32),
+            kf_ur=np.full((K, F), -1.0, np.float32),
             mp_valid=np.zeros(M, bool),
             mp_pos=np.zeros((M, 3), np.float32),
             mp_desc=np.zeros((M, 8), np.uint32),
@@ -168,6 +173,13 @@ class MapState:
         self.kf_t[kf_sel] = (
             s * self.kf_t[kf_sel] - np.einsum("kij,j->ki", Rn, t)
         ).astype(np.float32)
+        # body velocities are world-frame vectors: v' = s R v (reference:
+        # MergeLocal2 velocity transport, src/LoopClosing.cc:1783 region —
+        # KeyFrame::SetVelocity with the Sim3-rotated, scaled velocity)
+        if self.kf_vel is not None:
+            self.kf_vel[kf_sel] = (
+                s * self.kf_vel[kf_sel] @ np.asarray(R).T
+            ).astype(np.float32)
         self.kf_map[kf_sel] = dst_map
         self.mp_map[mp_sel] = dst_map
         self.active_map = dst_map

@@ -23,7 +23,13 @@ from ..features.extractor import ExtractorConfig, Features, extract
 from ..loop.loop_closer import LoopCloser, LoopCloserConfig
 from ..mapping.local_mapper import LocalMapper, LocalMapperConfig
 from ..slam_map.map_state import MapState
-from ..tracking.tracker import LOST, NOT_INITIALIZED, Tracker, TrackerConfig
+from ..tracking.tracker import (
+    LOST,
+    NOT_INITIALIZED,
+    RECENTLY_LOST,
+    Tracker,
+    TrackerConfig,
+)
 from ..utils.timing import TimeStats
 
 MONOCULAR = 0
@@ -45,13 +51,20 @@ class SystemConfig:
     min_kfs_for_new_map: int = 10  # reference: >10 KFs -> new map on LOST
     extractor: ExtractorConfig = None
     imu: object = None  # ImuConfig for *-inertial sensors
+    # stereo (reference: Settings stereo block, include/Settings.h:44-121)
+    bf: float = 0.0  # baseline * fx (reference mbf); rectified pairs
+    min_depth: float = 0.3  # stereo minimum depth (= bf / max disparity)
+    depth_scale: float = 1.0  # RGB-D depth map factor (reference mDepthMapFactor)
+    # non-rectified stereo (fisheye): right camera + left->right extrinsics
+    cam_right: Camera = None
+    T_rl: object = None  # (4, 4) p_right = R @ p_left + t
 
 
 class SlamSystem:
     def __init__(self, cfg: SystemConfig):
         self.cfg = cfg
         self.map = MapState.create(cfg.max_kf, cfg.max_mp, cfg.feat_cap)
-        self.tcfg = TrackerConfig(cam=cfg.cam)
+        self.tcfg = TrackerConfig(cam=cfg.cam, bf=cfg.bf)
         self.tracker = Tracker(self.tcfg, self.map)
         self.mapper = LocalMapper(LocalMapperConfig(), self.tcfg, self.map)
         self.timing = TimeStats()
@@ -82,6 +95,70 @@ class SlamSystem:
             self.tracker.relocalize_fn = self._relocalize
         self.ecfg = cfg.extractor or ExtractorConfig(n_features=cfg.feat_cap)
         self.poses = []  # (ts, T_cw 4x4 or None)
+        self._localization_only = False
+
+    # ------------------------------------------------------ mode / reset API
+    def activate_localization_mode(self):
+        """Tracking-only mode: the map is frozen — no keyframes are created
+        and local mapping is paused (reference:
+        System::ActivateLocalizationMode include/System.h:156 ->
+        LocalMapping::RequestStop + Tracking::InformOnlyTracking)."""
+        self._localization_only = True
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        """Reference: System::DeactivateLocalizationMode
+        (include/System.h:160 — Release local mapping, resume SLAM)."""
+        self._localization_only = False
+        self.tracker.only_tracking = False
+
+    def reset(self):
+        """Full reset: clear every map in the atlas and the tracker state
+        (reference: System::Reset latch -> Tracking::Reset,
+        src/System.cc:543, src/Tracking.cc:3782)."""
+        m = self.map
+        for k in m.keyframe_indices(all_maps=True):
+            m.remove_keyframe(int(k))
+        mps = m.point_indices(all_maps=True)
+        if len(mps):
+            m.remove_point(mps)
+        m.active_map = 0
+        m.n_maps = 1
+        m.imu_initialized = False
+        m.n_inertial_ba = 0
+        m.culled_redirect.clear()
+        self._reset_tracker()
+        self.poses = []
+
+    def reset_active_map(self):
+        """Reset only the active map (reference: System::ResetActiveMap ->
+        Tracking::ResetActiveMap, src/Tracking.cc:3843)."""
+        m = self.map
+        for k in m.keyframe_indices():
+            m.remove_keyframe(int(k))
+        mps = m.point_indices()
+        if len(mps):
+            m.remove_point(mps)
+        self._reset_tracker()
+
+    def _reset_tracker(self):
+        t = self.tracker
+        t.state = NOT_INITIALIZED
+        t.init_frame = None
+        t.last = None
+        t.velocity = None
+        t.ref_kf = -1
+        t.lost_frames = 0
+        t.frames_since_kf = 0
+        if t.imu is not None:
+            t.imu.preint_frame = None
+            t.imu.preint_kf = None
+            t.imu.marg_prior = None
+            t.imu._marg_pending = None
+            t.imu.kf_chain = []
+            t.imu.first_kf_ts = None
+            t.imu.initialized = False
+            t.imu.stage = 0
 
     def _relocalize(self, feats, frame_id):
         from ..loop.relocalization import relocalize
@@ -117,10 +194,83 @@ class SlamSystem:
         self.poses.append((ts, T))
         return T
 
-    def track_features(self, feats: Features, ts: float, depth=None, imu_samples=None):
+    def track_stereo(self, img_left, img_right, ts: float, imu_samples=None):
+        """Stereo entry: both extractions in ONE batched dispatch, then
+        rectified row-band matching (pinhole) or descriptor+triangulation
+        matching (non-rectified/fisheye, cfg.cam_right set).
+
+        Reference: System::TrackStereo (src/System.cc:271) -> Frame stereo
+        ctor with parallel L/R extraction (src/Frame.cc:122-123) +
+        ComputeStereoMatches (:811) / ComputeStereoFishEyeMatches (:1126)."""
+        import jax.numpy as jnp
+
+        from ..features.extractor import extract_batch
+        from ..ops.stereo_match import match_stereo, match_stereo_general
+
+        with self.timing.measure("extract"):
+            fb = extract_batch(
+                jnp.stack([jnp.asarray(img_left), jnp.asarray(img_right)]).astype(
+                    jnp.float32
+                ),
+                self.ecfg,
+            )
+            feats = Features(*[leaf[0] for leaf in fb])
+            feats_r = Features(*[leaf[1] for leaf in fb])
+        ur = None
+        with self.timing.measure("stereo_match"):
+            if self.cfg.cam_right is not None:
+                T_rl = np.asarray(self.cfg.T_rl, np.float32)
+                depth, ok = match_stereo_general(
+                    feats.uv, feats.desc, feats.level, feats.valid,
+                    feats_r.uv, feats_r.desc, feats_r.level, feats_r.valid,
+                    self.cfg.cam, self.cfg.cam_right,
+                    T_rl[:3, :3], T_rl[:3, 3],
+                )
+                depth = np.asarray(depth)
+            else:
+                u_r, depth, ok = match_stereo(
+                    feats.uv, feats.desc, feats.level, feats.valid,
+                    feats_r.uv, feats_r.desc, feats_r.level, feats_r.valid,
+                    bf=self.cfg.bf, min_z=self.cfg.min_depth,
+                )
+                ur = np.where(np.asarray(ok), np.asarray(u_r), -1.0).astype(
+                    np.float32
+                )
+                depth = np.asarray(depth)
+        return self.track_features(
+            feats, ts, depth=depth, imu_samples=imu_samples, ur=ur
+        )
+
+    def track_rgbd(self, image, depth_map, ts: float):
+        """RGB-D entry: per-feature depth lookup + virtual-right coordinate
+        uR = u - bf/z (reference: System::TrackRGBD src/System.cc:349 ->
+        ComputeStereoFromRGBD src/Frame.cc:984)."""
+        import jax.numpy as jnp
+
+        from ..ops.stereo_match import depth_from_depthmap
+
+        with self.timing.measure("extract"):
+            feats = extract(jnp.asarray(image, jnp.float32), self.ecfg)
+        d = np.asarray(
+            depth_from_depthmap(
+                feats.uv, jnp.asarray(depth_map), self.cfg.depth_scale
+            )
+        )
+        ur = None
+        if self.cfg.bf > 0:
+            u = np.asarray(feats.uv)[:, 0]
+            ur = np.where(d > 0, u - self.cfg.bf / np.maximum(d, 1e-6), -1.0).astype(
+                np.float32
+            )
+        return self.track_features(feats, ts, depth=d, ur=ur)
+
+    def track_features(self, feats: Features, ts: float, depth=None,
+                       imu_samples=None, ur=None):
         """Feature-level entry (decoupled frontend, used by tests/bench)."""
         with self.timing.measure("track"):
-            T = self.tracker.track(feats, ts, depth=depth, imu_samples=imu_samples)
+            T = self.tracker.track(
+                feats, ts, depth=depth, imu_samples=imu_samples, ur=ur
+            )
         self._handle_loss()
         self.poses.append((ts, T))
         return T
@@ -170,6 +320,13 @@ class SlamSystem:
         instead)."""
         if self.tracker.state != LOST:
             return
+        if self._localization_only:
+            # map is frozen: stay LOST and keep attempting relocalization
+            # against it (reference: mbOnlyTracking loss handling,
+            # src/Tracking.cc:2004 region — no map reset, no new map)
+            self.tracker.state = RECENTLY_LOST
+            self.tracker.lost_frames = 0
+            return
         m = self.map
         if m.n_keyframes() > self.cfg.min_kfs_for_new_map:
             m.create_new_map()
@@ -205,6 +362,37 @@ class SlamSystem:
                 f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
                 f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}"
             )
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def save_trajectory_euroc(self, path: str):
+        """EuRoC format: ts_ns tx ty tz qw qx qy qz, camera-to-world
+        (reference: System::SaveTrajectoryEuRoC src/System.cc:705 region;
+        inertial variants emit body-frame poses — with the identity R_bc
+        used throughout, camera == body)."""
+        import jax.numpy as jnp
+
+        from ..lie import so3
+
+        lines = []
+        for ts, fid, T in self.tracker.absolute_trajectory():
+            Twc = np.linalg.inv(T)
+            q = np.asarray(so3.quat_from_mat(jnp.asarray(Twc[:3, :3])))
+            t = Twc[:3, 3]
+            lines.append(
+                f"{int(round(ts * 1e9))} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}"
+            )
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI format: 12 numbers per line, row-major 3x4 T_wc (reference:
+        System::SaveTrajectoryKITTI src/System.cc:609-700 region)."""
+        lines = []
+        for ts, fid, T in self.tracker.absolute_trajectory():
+            Twc = np.linalg.inv(T)
+            lines.append(" ".join(f"{x:.9e}" for x in Twc[:3].reshape(-1)))
         with open(path, "w") as f:
             f.write("\n".join(lines) + "\n")
 

@@ -70,6 +70,7 @@ class TrackerConfig:
     min_frames_between_kf: int = 3  # reference mMinFrames
     kf_tracked_ratio: float = 0.9  # reference thRefRatio for mono
     depth_point_max: float = 40.0  # stereo/RGB-D close-point depth gate (m)
+    bf: float = 0.0  # stereo baseline * fx (reference mbf); 0 = no stereo
     recently_lost_budget: int = 60  # frames before LOST (~3 s, src/Tracking.cc:1990)
 
     def scale_factors(self):
@@ -91,6 +92,7 @@ class FrameRecord:
     ts: float
     frame_id: int
     depth: np.ndarray = None  # (F,) metric depth per feature, <=0 invalid
+    ur: np.ndarray = None  # (F,) right-image u per feature, <0 = mono
 
 
 class Tracker:
@@ -121,9 +123,14 @@ class Tracker:
         # optional () -> bool: local mapper busy? (reference NeedNewKeyFrame
         # checks bLocalMappingIdle, src/Tracking.cc:3099)
         self.mapper_busy_fn = None
+        # localization-only mode: map frozen, no keyframes (reference:
+        # mbOnlyTracking, include/Tracking.h:294; NeedNewKeyFrame returns
+        # false when set, src/Tracking.cc:3069)
+        self.only_tracking = False
 
     # ------------------------------------------------------------------ API
-    def track(self, feats: Features, ts: float, depth=None, imu_samples=None) -> Optional[np.ndarray]:
+    def track(self, feats: Features, ts: float, depth=None, imu_samples=None,
+              ur=None) -> Optional[np.ndarray]:
         """Process one frame. Returns T_cw (4x4 numpy) or None while lost.
 
         depth: optional (F,) metric depth per feature (stereo / RGB-D paths;
@@ -136,6 +143,9 @@ class Tracker:
         fid = self.frame_id
         self.frame_id += 1
         self._cur_depth = None if depth is None else np.asarray(depth)
+        # right-image u per feature (rectified stereo / RGB-D virtual right,
+        # reference Frame::mvuRight); feeds the EdgeStereo residual rows
+        self._cur_ur = None if ur is None else np.asarray(ur, np.float32)
         # timestamp sanity (reference: src/Tracking.cc:1822-1858 — backward
         # jumps reset IMU integration, large gaps force a map handoff)
         if self.last is not None:
@@ -284,7 +294,8 @@ class Tracker:
         m.update_point_stats(mp_idx, cfg.scale_factors())
         obs = np.full(feats.capacity, NO_POINT, np.int32)
         obs[slots] = mp_idx
-        self.last = FrameRecord(feats, SE3.identity(), obs, ts, fid, depth=d)
+        self.last = FrameRecord(feats, SE3.identity(), obs, ts, fid, depth=d,
+                                ur=self._cur_ur)
         self.ref_kf = k
         self.state = OK
         self.frames_since_kf = 0
@@ -417,6 +428,8 @@ class Tracker:
                     T_pred, m.mp_pos[cand_mp[sel]],
                     np.asarray(feats.uv)[idx_np[sel]],
                     inv_s2_levels[np.asarray(feats.level)[idx_np[sel]]],
+                    ur=None if self._cur_ur is None
+                    else self._cur_ur[idx_np[sel]],
                 )
                 if int(inl.sum()) >= cfg.min_inliers_track:
                     ok_track = True
@@ -453,14 +466,16 @@ class Tracker:
             if self.lost_frames > cfg.recently_lost_budget:
                 self.state = LOST
             # keep motion model alive
-            rec = FrameRecord(feats, T_cur, obs_mp, ts, fid, depth=self._cur_depth)
+            rec = FrameRecord(feats, T_cur, obs_mp, ts, fid,
+                              depth=self._cur_depth, ur=self._cur_ur)
             self._update_motion_model(rec)
             self.last = rec
             return T_cur
         self.state = OK
         self.lost_frames = 0
 
-        rec = FrameRecord(feats, T_cur, obs_mp, ts, fid, depth=self._cur_depth)
+        rec = FrameRecord(feats, T_cur, obs_mp, ts, fid,
+                          depth=self._cur_depth, ur=self._cur_ur)
         if self.imu is not None and self.last is not None:
             self.imu.commit_frame_velocity(self.last.T_cw, T_cur, ts - self.last.ts)
         self._update_motion_model(rec)
@@ -484,18 +499,25 @@ class Tracker:
         lvl = np.ceil(np.log(np.maximum(ratio, 1e-6)) / np.log(cfg.scale))
         return np.clip(lvl, 0, cfg.n_levels - 1).astype(np.int32)
 
-    def _pose_opt(self, T0, pts_w, uv, inv_s2):
+    def _pose_opt(self, T0, pts_w, uv, inv_s2, ur=None):
         """Static-shape pose optimization: associations padded to
         POSE_OPT_CAP so the solver compiles once per session. Once the IMU
         is initialized, the visual-inertial variant fuses the frame-to-frame
         preintegration factor (reference:
-        PoseInertialOptimizationLastFrame, src/Optimizer.cc:4875)."""
+        PoseInertialOptimizationLastFrame, src/Optimizer.cc:4875).
+        ur: optional (N,) right-image u (<0 mono) enabling the stereo
+        (u,v,uR) residual rows (reference EdgeStereoOnlyPose)."""
         n = min(len(pts_w), POSE_OPT_CAP)
         valid = np.zeros(POSE_OPT_CAP, bool)
         valid[:n] = True
         pts_p = jnp.asarray(_pad1(pts_w, POSE_OPT_CAP))
         uv_p = jnp.asarray(_pad1(uv, POSE_OPT_CAP))
         is2_p = jnp.asarray(_pad1(inv_s2, POSE_OPT_CAP, 1.0))
+        ur_p = (
+            None
+            if (ur is None or self.cfg.bf <= 0)
+            else jnp.asarray(_pad1(ur.astype(np.float32), POSE_OPT_CAP, -1.0))
+        )
         imu = self.imu
         if (
             imu is not None
@@ -542,6 +564,8 @@ class Tracker:
             uv_p,
             is2_p,
             valid=jnp.asarray(valid),
+            ur_obs=ur_p,
+            bf=None if ur_p is None else jnp.asarray(self.cfg.bf, jnp.float32),
         )
         return res.T_cw, np.asarray(res.inliers)[: len(pts_w)]
 
@@ -582,6 +606,7 @@ class Tracker:
             m.mp_pos[mps[sel]],
             np.asarray(feats.uv)[idx_np[sel]],
             inv_s2_levels[np.asarray(feats.level)[idx_np[sel]]],
+            ur=None if self._cur_ur is None else self._cur_ur[idx_np[sel]],
         )
         if int(inl.sum()) < self.cfg.min_inliers_track:
             return T_pred, obs_mp, False
@@ -684,6 +709,7 @@ class Tracker:
             m.mp_pos[all_mp],
             uv_all,
             inv_s2_levels[np.asarray(feats.level)[all_feat]],
+            ur=None if self._cur_ur is None else self._cur_ur[all_feat],
         )
         obs_out = np.full(feats.capacity, NO_POINT, np.int32)
         obs_out[all_feat[inl]] = all_mp[inl]
@@ -700,6 +726,8 @@ class Tracker:
         """Reference: NeedNewKeyFrame (src/Tracking.cc:3067), simplified to
         the mono non-inertial conditions: enough frames passed or tracking
         ratio below thRefRatio, and a minimum match count."""
+        if self.only_tracking:
+            return False
         m = self.map
         if self.ref_kf < 0:
             return False
@@ -732,6 +760,8 @@ class Tracker:
         m.kf_angle[k] = np.asarray(f.angle)
         m.kf_feat_valid[k] = np.asarray(f.valid)
         m.kf_obs[k] = rec.obs_mp
+        if m.kf_ur is not None:
+            m.kf_ur[k] = rec.ur if rec.ur is not None else -1.0
         # spanning tree: parent = the reference keyframe at creation
         # (reference: CreateNewKeyFrame -> KeyFrame ctor + ChangeParent)
         if m.kf_parent is not None:
@@ -788,7 +818,8 @@ def _build_ba_problem(m: MapState, cfg: TrackerConfig, kf_sel, mp_sel, fixed):
     kf_pos = {int(k): i for i, k in enumerate(kf_sel)}
     mp_pos = np.full(m.mp_valid.shape[0], -1, np.int64)
     mp_pos[mp_sel] = np.arange(len(mp_sel))
-    obs_cam, obs_pt, obs_uv, obs_is2 = [], [], [], []
+    use_stereo = cfg.bf > 0 and m.kf_ur is not None
+    obs_cam, obs_pt, obs_uv, obs_is2, obs_ur = [], [], [], [], []
     for k in kf_sel:
         slots, mps = m.observations_of_kf(int(k))
         sel = mp_pos[mps] >= 0
@@ -797,6 +828,8 @@ def _build_ba_problem(m: MapState, cfg: TrackerConfig, kf_sel, mp_sel, fixed):
         obs_pt.append(mp_pos[mps].astype(np.int32))
         obs_uv.append(m.kf_uv[int(k), slots])
         obs_is2.append(inv_s2_levels[m.kf_level[int(k), slots]])
+        if use_stereo:
+            obs_ur.append(m.kf_ur[int(k), slots])
     obs_cam = np.concatenate(obs_cam)
     obs_pt = np.concatenate(obs_pt)
     obs_uv = np.concatenate(obs_uv)
@@ -811,6 +844,8 @@ def _build_ba_problem(m: MapState, cfg: TrackerConfig, kf_sel, mp_sel, fixed):
         obs_uv=jnp.asarray(obs_uv),
         obs_inv_s2=jnp.asarray(obs_is2),
         obs_valid=jnp.ones(len(obs_cam), bool),
+        obs_ur=jnp.asarray(np.concatenate(obs_ur)) if use_stereo else None,
+        bf=jnp.asarray(cfg.bf, jnp.float32) if use_stereo else None,
     )
 
 
