@@ -70,7 +70,15 @@ def main():
     cam = Camera.pinhole(458.654, 457.296, 367.215, 248.375, width=752, height=480)
     n_frames = 400
     t_render = time.perf_counter()
-    imgs, gts = render_sequence(cam, n_frames)
+    cache = "/tmp/bench_seq.npz"
+    import os
+
+    if os.path.exists(cache):
+        d = np.load(cache)
+        imgs, gts = list(d["imgs"][:n_frames]), list(d["gts"][:n_frames])
+    else:
+        imgs, gts = render_sequence(cam, n_frames)
+        np.savez(cache, imgs=np.stack(imgs), gts=np.stack(gts))
     print(
         f"[bench] rendered {n_frames} frames in {time.perf_counter()-t_render:.1f}s",
         file=sys.stderr,
@@ -91,6 +99,12 @@ def main():
     retired = []
     for i in range(n_warm):
         retired += fe.track_image(imgs[i], ts=i / fps_cam)
+    # drain the async mapping queue before the timer starts: the worker's
+    # first keyframes trigger its kernel compiles (triangulation, local BA),
+    # which on remote-compile TPU backends take minutes — compile latency is
+    # warmup, not throughput (same rule as any serving benchmark)
+    if getattr(slam, "async_mapper", None) is not None:
+        slam.async_mapper.flush()
 
     t0 = time.perf_counter()
     for i in range(n_warm, n_frames):

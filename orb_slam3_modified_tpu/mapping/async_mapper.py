@@ -39,8 +39,11 @@ class AsyncLocalMapper:
         self.errors: list = []
 
     def on_keyframe(self, k: int):
-        """Tracker-side hook: enqueue and return immediately."""
-        self.queue.put(int(k))
+        """Tracker-side hook: enqueue and return immediately. The slot's
+        frame id is captured so the worker can detect cull-and-reuse races
+        (slot k culled, then reallocated to a different keyframe while the
+        queue entry was in flight) and skip the stale entry."""
+        self.queue.put((int(k), int(self.mapper.map.kf_frame_id[k])))
 
     def busy(self) -> bool:
         return not self.queue.empty() or self.queue.unfinished_tasks > 0
@@ -48,10 +51,13 @@ class AsyncLocalMapper:
     def _run(self):
         while not self._stop:
             try:
-                k = self.queue.get(timeout=0.2)
+                k, fid = self.queue.get(timeout=0.2)
             except queue.Empty:
                 continue
             try:
+                m = self.mapper.map
+                if not m.kf_valid[k] or int(m.kf_frame_id[k]) != fid:
+                    continue  # slot culled (or culled+reused) since enqueue
                 self.mapper.on_keyframe(k)  # locks its phases internally
                 if self.post_fn is not None:
                     with self.lock:

@@ -18,11 +18,18 @@ import numpy as np
 
 from ..cameras import Camera, project_np, unproject_np
 from ..features.matcher import TH_LOW, mutual_best_match, resolve_duplicate_targets
-from ..geom import projection_matrix, triangulate_dlt
+from ..geom import triangulate_dlt
 from ..lie.se3 import SE3
 from ..optim.ba import bundle_adjust
 from ..slam_map.map_state import NO_POINT, MapState
 from ..tracking.tracker import TrackerConfig, _build_ba_problem, _pad1, _write_back_ba
+
+
+# Session-static local-BA pad shape on accelerator backends (see
+# _pad_problem): keyframes / points / observations.
+_BA_PAD_K = 32
+_BA_PAD_P = 8192
+_BA_PAD_O = 16384
 
 
 @dataclasses.dataclass
@@ -131,24 +138,28 @@ class LocalMapper:
                 return np.empty(0, np.int64)
             F = m.kf_uv.shape[1]
             free_k = m.kf_feat_valid[k] & (m.kf_obs[k] == NO_POINT)
-            T_k = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
             center_k = -m.kf_R[k].T @ m.kf_t[k]
+            R_k_snap, t_k_snap = m.kf_R[k].copy(), m.kf_t[k].copy()
             NB = 8
             neighbors = neighbors[:NB]
-            masks = np.zeros((NB, F, F), bool)
+            r_k = unproject_np(cam, m.kf_uv[k]).astype(np.float32)  # (F, 3)
+            r_n = np.zeros((NB, F, 3), np.float32)
+            E_n = np.zeros((NB, 3, 3), np.float32)
+            th_n = np.zeros((NB, F), np.float32)  # 0 threshold = masked out
             desc_n = np.zeros((NB, F, 8), np.uint32)
             valid_n = np.zeros((NB, F), bool)
+            f2 = float(np.asarray(cam.params[0])) ** 2
             use = []
             for j, kn in enumerate(neighbors):
                 center_n = -m.kf_R[kn].T @ m.kf_t[kn]
                 if np.linalg.norm(center_k - center_n) < 0.01:
                     continue  # reference gate: tiny baseline
-                T_n = SE3(jnp.asarray(m.kf_R[kn]), jnp.asarray(m.kf_t[kn]))
-                masks[j] = np.asarray(
-                    _epipolar_mask(
-                        cam, m.kf_uv[k], m.kf_uv[kn], m.kf_level[kn], T_k, T_n, inv_s2
-                    )
-                )
+                # essential matrix cam_n <- cam_k: E = [t]x R of T_nk
+                R_nk = m.kf_R[kn] @ R_k_snap.T
+                t_nk = m.kf_t[kn] - R_nk @ t_k_snap
+                E_n[j] = _hat(t_nk.astype(np.float32)) @ R_nk.astype(np.float32)
+                r_n[j] = unproject_np(cam, m.kf_uv[kn]).astype(np.float32)
+                th_n[j] = 3.84 / f2 / np.maximum(inv_s2[m.kf_level[kn]], 1e-9)
                 desc_n[j] = m.kf_desc[kn]
                 valid_n[j] = m.kf_feat_valid[kn] & (m.kf_obs[kn] == NO_POINT)
                 use.append(j)
@@ -158,86 +169,114 @@ class LocalMapper:
 
         # ---- compute phase (NO lock): device matching + readback
         idx_all, keep_all = _batched_neighbor_match(
-            jnp.asarray(desc_k_snap), jnp.asarray(free_k),
-            jnp.asarray(desc_n), jnp.asarray(valid_n), jnp.asarray(masks),
+            jnp.asarray(desc_k_snap), jnp.asarray(free_k), jnp.asarray(r_k),
+            jnp.asarray(desc_n), jnp.asarray(valid_n), jnp.asarray(r_n),
+            jnp.asarray(E_n), jnp.asarray(th_n),
         )
         idx_all = np.asarray(idx_all)
         keep_all = np.array(keep_all)
 
+        # collect matched pairs from every neighbor, then run ONE batched
+        # triangulation dispatch (per-neighbor dispatches cost a tunnel RTT
+        # each). A feature is claimed by the first neighbor that matched it
+        # this round (the sequential version claimed on acceptance; claiming
+        # on match only defers a failed candidate to the next keyframe).
+        P1 = np.concatenate(
+            [R_k_snap, t_k_snap[:, None]], axis=1
+        ).astype(np.float32)
+        sel_l, x1_l, x2_l, P2_l, nb_l = [], [], [], [], []
         for j in use:
             kn = neighbors[j]
-            T_n = SE3(jnp.asarray(m.kf_R[kn]), jnp.asarray(m.kf_t[kn]))
-            center_n = -m.kf_R[kn].T @ m.kf_t[kn]
-            keep_np = keep_all[j] & free_k  # features may be claimed by an
-            idx_np = idx_all[j]             # earlier neighbor this round
-            if keep_np.sum() == 0:
+            keep_np = keep_all[j] & free_k
+            if not keep_np.any():
                 continue
             sel = np.flatnonzero(keep_np)
-            # triangulate matched pairs (unit-plane DLT); bucket-pad so the
-            # batched eigensolve compiles per bucket, not per match count
-            uv1 = m.kf_uv[k][sel]
-            uv2 = m.kf_uv[kn][idx_np[sel]]
-            r1 = unproject_np(cam, uv1)
-            r2 = unproject_np(cam, uv2)
-            x1 = r1[:, :2] / r1[:, 2:3]
-            x2 = r2[:, :2] / r2[:, 2:3]
-            P1 = np.asarray(projection_matrix(T_k))
-            P2 = np.asarray(projection_matrix(T_n))
-            nsel = len(sel)
-            bucket = 512
-            while bucket < nsel:
-                bucket *= 2
-            pts = np.asarray(
-                triangulate_dlt(
-                    jnp.asarray(np.broadcast_to(P1, (bucket, 3, 4))),
-                    jnp.asarray(np.broadcast_to(P2, (bucket, 3, 4))),
-                    jnp.asarray(_pad1(x1.astype(np.float32), bucket)),
-                    jnp.asarray(_pad1(x2.astype(np.float32), bucket)),
-                )
-            )[:nsel]
-            # acceptance gates (reference: cheirality, parallax, reproj, scale)
-            R_k_np, t_k_np = m.kf_R[k], m.kf_t[k]
-            R_n_np, t_n_np = m.kf_R[kn], m.kf_t[kn]
-            pc1 = pts @ R_k_np.T + t_k_np
-            pc2 = pts @ R_n_np.T + t_n_np
-            v1 = pts - center_k
-            v2 = pts - center_n
-            cosp = np.sum(v1 * v2, -1) / (
-                np.linalg.norm(v1, axis=-1) * np.linalg.norm(v2, axis=-1) + 1e-12
+            free_k[sel] = False
+            idx_np = idx_all[j]
+            r1 = r_k[sel]
+            r2 = r_n[j][idx_np[sel]]
+            sel_l.append(sel)
+            x1_l.append(r1[:, :2] / r1[:, 2:3])
+            x2_l.append(r2[:, :2] / r2[:, 2:3])
+            P2 = np.concatenate(
+                [m.kf_R[kn], m.kf_t[kn][:, None]], axis=1
+            ).astype(np.float32)
+            P2_l.append(np.broadcast_to(P2, (len(sel), 3, 4)))
+            nb_l.append(np.full(len(sel), j, np.int32))
+        if not sel_l:
+            return np.empty(0, np.int64)
+        sel_a = np.concatenate(sel_l)
+        x1_a = np.concatenate(x1_l).astype(np.float32)
+        x2_a = np.concatenate(x2_l).astype(np.float32)
+        P2_a = np.concatenate(P2_l)
+        nb_a = np.concatenate(nb_l)
+        n_pairs = len(sel_a)
+        # ONE static bucket (= feature capacity, the hard upper bound on
+        # matches: each pair claims a distinct k-feature) so the batched
+        # eigensolve compiles exactly once per session.
+        bucket = F
+        pts = np.asarray(
+            triangulate_dlt(
+                jnp.asarray(np.broadcast_to(P1, (bucket, 3, 4))),
+                jnp.asarray(_pad1(P2_a, bucket)),
+                jnp.asarray(_pad1(x1_a, bucket)),
+                jnp.asarray(_pad1(x2_a, bucket)),
             )
-            uv1_pred = project_np(cam, pc1)
-            uv2_pred = project_np(cam, pc2)
-            e1 = np.sum((uv1_pred - uv1) ** 2, -1) * inv_s2[m.kf_level[k][sel]]
-            e2 = np.sum((uv2_pred - uv2) ** 2, -1) * inv_s2[m.kf_level[kn][idx_np[sel]]]
-            good = (
-                (pc1[:, 2] > 0)
-                & (pc2[:, 2] > 0)
-                & (cosp < self.cfg.min_parallax_cos)
-                & (e1 < self.cfg.reproj_chi2)
-                & (e2 < self.cfg.reproj_chi2)
-                & np.isfinite(pts).all(axis=-1)
-            )
-            if good.sum() == 0:
-                continue
-            gsel = sel[good]
+        )[:n_pairs]
+        # acceptance gates (reference: cheirality, parallax, reproj, scale)
+        idx_pair = np.concatenate(
+            [idx_all[int(n[0])][s] for n, s in zip(nb_l, sel_l)]
+        )
+        R_n_a = np.stack([m.kf_R[neighbors[j]] for j in nb_a])  # (N, 3, 3)
+        t_n_a = np.stack([m.kf_t[neighbors[j]] for j in nb_a])
+        center_n_a = -np.einsum("nij,ni->nj", R_n_a, t_n_a)
+        pc1 = pts @ R_k_snap.T + t_k_snap
+        pc2 = np.einsum("nij,nj->ni", R_n_a, pts) + t_n_a
+        v1 = pts - center_k
+        v2 = pts - center_n_a
+        cosp = np.sum(v1 * v2, -1) / (
+            np.linalg.norm(v1, axis=-1) * np.linalg.norm(v2, axis=-1) + 1e-12
+        )
+        uv1 = m.kf_uv[k][sel_a]
+        kn_a = np.array([neighbors[j] for j in nb_a])
+        uv2 = m.kf_uv[kn_a, idx_pair]
+        uv1_pred = project_np(cam, pc1)
+        uv2_pred = project_np(cam, pc2)
+        e1 = np.sum((uv1_pred - uv1) ** 2, -1) * inv_s2[m.kf_level[k][sel_a]]
+        e2 = np.sum((uv2_pred - uv2) ** 2, -1) * inv_s2[m.kf_level[kn_a, idx_pair]]
+        good = (
+            (pc1[:, 2] > 0)
+            & (pc2[:, 2] > 0)
+            & (cosp < self.cfg.min_parallax_cos)
+            & (e1 < self.cfg.reproj_chi2)
+            & (e2 < self.cfg.reproj_chi2)
+            & np.isfinite(pts).all(axis=-1)
+        )
+        if good.any():
+            gsel = sel_a[good]
+            g_idx = idx_pair[good]
+            g_kn = kn_a[good]
+            g_pts = pts[good]
             with self.lock:
                 # slots may have been claimed since the snapshot
                 still = (m.kf_obs[k, gsel] == NO_POINT) & (
-                    m.kf_obs[kn, idx_np[gsel]] == NO_POINT
+                    m.kf_obs[g_kn, g_idx] == NO_POINT
                 )
-                gsel = gsel[still]
-                if len(gsel) == 0:
-                    continue
-                try:
-                    mp_idx = m.alloc_points(len(gsel))
-                except RuntimeError:
-                    break
-                m.mp_pos[mp_idx] = pts[good][still]
-                m.mp_first_kf[mp_idx] = k
-                m.kf_obs[k, gsel] = mp_idx
-                m.kf_obs[kn, idx_np[gsel]] = mp_idx
-            free_k[gsel] = False
-            created.append(mp_idx)
+                gsel, g_idx, g_kn, g_pts = (
+                    gsel[still], g_idx[still], g_kn[still], g_pts[still]
+                )
+                if len(gsel):
+                    try:
+                        mp_idx = m.alloc_points(len(gsel))
+                    except RuntimeError:
+                        mp_idx = np.empty(0, np.int64)
+                    n_ok = len(mp_idx)
+                    if n_ok:
+                        m.mp_pos[mp_idx] = g_pts[:n_ok]
+                        m.mp_first_kf[mp_idx] = k
+                        m.kf_obs[k, gsel[:n_ok]] = mp_idx
+                        m.kf_obs[g_kn[:n_ok], g_idx[:n_ok]] = mp_idx
+                        created.append(mp_idx)
         if not created:
             return np.empty(0, np.int64)
         out = np.concatenate(created)
@@ -267,9 +306,12 @@ class LocalMapper:
             n_c = min(len(mps_k), F)
             c_sel = np.arange(n_c)
             desc_p = _pad1(m.mp_desc[mps_k[:n_c]], F)
-            # batched: project the candidate set into every neighbor (numpy),
-            # then ONE vmapped match dispatch across neighbors
-            masks = np.zeros((NB, F, F), bool)
+            # batched: project the candidate set into every neighbor (numpy,
+            # tiny), then ONE vmapped match dispatch across neighbors — the
+            # (NB, F, F) radius masks are computed on device from the
+            # projections (materializing + uploading them cost ~8 MB/KF)
+            uv_pred = np.zeros((NB, F, 2), np.float32)
+            uv_n = np.zeros((NB, F, 2), np.float32)
             desc_n = np.zeros((NB, F, 8), np.uint32)
             valid_n = np.zeros((NB, F), bool)
             val_p_nb = np.zeros((NB, F), bool)
@@ -282,14 +324,15 @@ class LocalMapper:
                     & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
                 )
                 val_p_nb[j, :n_c] = visible
-                d2 = (_pad1(uv, F)[:, None, :] - m.kf_uv[kn][None]) ** 2
-                masks[j] = d2.sum(-1) < 9.0  # 3px fuse radius
+                uv_pred[j] = _pad1(np.nan_to_num(uv).astype(np.float32), F)
+                uv_n[j] = m.kf_uv[kn]
                 desc_n[j] = m.kf_desc[kn]
                 valid_n[j] = m.kf_feat_valid[kn]
         # compute phase (NO lock)
         idx_all, ok_all = _batched_fuse_match(
             jnp.asarray(desc_p), jnp.asarray(val_p_nb),
-            jnp.asarray(desc_n), jnp.asarray(valid_n), jnp.asarray(masks),
+            jnp.asarray(desc_n), jnp.asarray(valid_n),
+            jnp.asarray(uv_pred), jnp.asarray(uv_n),
         )
         idx_all = np.asarray(idx_all)
         ok_all = np.array(ok_all)
@@ -333,6 +376,15 @@ class LocalMapper:
         # frontier: kfs observing these points but not in window
         observers = np.flatnonzero(m.point_observers(mp_sel))
         frontier = [int(x) for x in observers if int(x) not in window]
+        # bound the problem to the static BA pad shape (_pad_problem): keep
+        # the strongest-covis frontier keyframes. The reference includes every
+        # observer as a fixed vertex (src/Optimizer.cc:1183 region); capping
+        # only drops distant anchors, never optimized keyframes.
+        max_frontier = _BA_PAD_K - len(window)
+        if len(frontier) > max_frontier > 0:
+            w = m.covisibility_weights(k)[frontier]
+            order = np.argsort(-w)
+            frontier = [frontier[i] for i in order[:max_frontier]]
         kf_sel = np.array(window + frontier)
         fixed = np.zeros(len(kf_sel), bool)
         fixed[len(window):] = True
@@ -403,59 +455,54 @@ class LocalMapper:
 
 
 @jax.jit
-def _batched_neighbor_match(desc_k, free_k, desc_n, valid_n, masks):
-    """Match kf-k features against NB neighbor keyframes in one dispatch.
+def _batched_neighbor_match(desc_k, free_k, r_k, desc_n, valid_n, r_n, E_n, th_n):
+    """Match kf-k features against NB neighbor keyframes in one dispatch,
+    epipolar gate included (reference: SearchForTriangulation epipolar
+    check, src/ORBmatcher.cc:907 region).
 
-    desc_n: (NB, F, 8); valid_n: (NB, F); masks: (NB, F, F).
+    The (NB, F, F) epipolar masks are computed ON DEVICE from tiny inputs
+    (unit-plane rays r_k (F,3) / r_n (NB,F,3), essential matrices E_n
+    (NB,3,3), per-target chi2 thresholds th_n (NB,F)) — materializing them
+    on a 2-core host and shipping 8 MB of bools per keyframe was the
+    mapper's dominant cost.
+
     Returns idx (NB, F), keep (NB, F).
     """
     F = desc_k.shape[0]
 
-    def one(dn, vn, mask):
+    def one(dn, vn, rn, E, th):
+        l2 = r_k @ E.T  # epiline of each k-feature in the neighbor's plane
+        d = l2 @ rn.T  # (F, F) algebraic point-line distance
+        den = l2[:, 0] ** 2 + l2[:, 1] ** 2
+        err = d * d / jnp.maximum(den[:, None], 1e-12)
+        mask = err < th[None, :]
         idx, ok, dist = mutual_best_match(
             desc_k, free_k, dn, vn, max_dist=TH_LOW, ratio=0.8, extra_mask=mask
         )
         keep = resolve_duplicate_targets(idx, ok, dist, F)
         return idx, keep
 
-    return jax.vmap(one)(desc_n, valid_n, masks)
+    return jax.vmap(one)(desc_n, valid_n, r_n, E_n, th_n)
 
 
 @jax.jit
-def _batched_fuse_match(desc_p, val_p_nb, desc_n, valid_n, masks):
-    """Fuse matching against NB neighbors in one dispatch.
+def _batched_fuse_match(desc_p, val_p_nb, desc_n, valid_n, uv_pred, uv_n):
+    """Fuse matching against NB neighbors in one dispatch (radius masks
+    computed on device from projected candidates uv_pred (NB,F,2) and
+    neighbor keypoints uv_n (NB,F,2); 3 px fuse radius).
 
     desc_p: (F, 8) candidate point descriptors (shared across neighbors);
     val_p_nb: (NB, F) per-neighbor candidate visibility.
     """
-    def one(vp, dn, vn, mask):
+    def one(vp, dn, vn, uvp, uvn):
+        d2 = jnp.sum((uvp[:, None, :] - uvn[None]) ** 2, -1)
+        mask = d2 < 9.0
         idx, ok, dist = mutual_best_match(
             desc_p, vp, dn, vn, max_dist=TH_LOW, extra_mask=mask
         )
         return idx, ok
 
-    return jax.vmap(one)(val_p_nb, desc_n, valid_n, masks)
-
-
-def _epipolar_mask(cam, uv1, uv2, level2, T_1w: SE3, T_2w: SE3, inv_s2):
-    """(F1, F2) bool: uv2 within chi2 3.84 of the epiline of uv1.
-
-    Reference: ORBmatcher::SearchForTriangulation epipolar gate
-    (src/ORBmatcher.cc:907 region) using F12 from the relative pose.
-    """
-    # relative pose cam2 <- cam1
-    T_21 = T_2w @ T_1w.inverse()
-    E = np.asarray(jnp.einsum("ij,jk->ik", _hat(np.asarray(T_21.t)), np.asarray(T_21.R)))
-    r1 = unproject_np(cam, uv1)  # (F1, 3) unit-plane
-    r2 = unproject_np(cam, uv2)
-    l2 = r1 @ E.T  # epiline in image-2 unit plane: l = E x1
-    d = np.einsum("nj,mj->nm", l2, r2)  # (F1, F2) algebraic distance
-    den = l2[:, 0] ** 2 + l2[:, 1] ** 2
-    err = d * d / np.maximum(den[:, None], 1e-12)
-    # pixel-domain threshold: scale by focal^2 and level sigma
-    f2 = float(np.asarray(cam.params[0])) ** 2
-    th = 3.84 / f2 / np.maximum(inv_s2[level2][None, :], 1e-9)
-    return jnp.asarray(err < th)
+    return jax.vmap(one)(val_p_nb, desc_n, valid_n, uv_pred, uv_n)
 
 
 def _hat(v):
@@ -465,11 +512,15 @@ def _hat(v):
 
 
 def _pad_problem(prob):
-    """Bucket-pad BA problem so bundle_adjust compiles per bucket, not per
-    exact size. Buckets grow by powers of two from generous floors: remote
-    TPU compiles cost minutes, so a whole run should hit only 2-3 shapes."""
-    import math
+    """Pad the BA problem to a session-static shape.
 
+    On accelerator backends every new shape is a fresh XLA compile — minutes
+    on remote-compile TPU setups — so the local-BA problem is padded straight
+    to ONE max shape (_BA_PAD_K/_BA_PAD_P/_BA_PAD_O; the window builder caps
+    the keyframe count to fit). The padded FLOPs are noise on a TPU (the
+    reduced camera system is 192x192). On CPU (tests) power-of-two buckets
+    keep small problems cheap.
+    """
     from ..optim.ba import BAProblem
 
     def bucket(n, q):
@@ -482,7 +533,12 @@ def _pad_problem(prob):
     K = prob.T_cw.t.shape[0]
     P = prob.points.shape[0]
     O = prob.obs_cam.shape[0]
-    Kb, Pb, Ob = bucket(K, 16), bucket(P, 4096), bucket(O, 8192)
+    if jax.default_backend() != "cpu":
+        Kb = max(_BA_PAD_K, bucket(K, 16))
+        Pb = max(_BA_PAD_P, bucket(P, 4096))
+        Ob = max(_BA_PAD_O, bucket(O, 8192))
+    else:
+        Kb, Pb, Ob = bucket(K, 16), bucket(P, 4096), bucket(O, 8192)
     if (Kb, Pb, Ob) == (K, P, O):
         return prob
     pad_k = Kb - K

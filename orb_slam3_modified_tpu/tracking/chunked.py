@@ -99,6 +99,15 @@ class ChunkedTracker:
         self.state: DeviceTrackState | None = None
         self.cache: MapCache | None = None
         self.cache_ids: np.ndarray | None = None
+        # consecutive below-threshold frames; a single dip below
+        # min_inliers_local must NOT trigger the (expensive) slow-path
+        # replay — the reference tolerates ~3 s of RECENTLY_LOST
+        # (src/Tracking.cc:1990) before giving up, so requiring a short
+        # streak (or a hard floor) before declaring loss is strictly more
+        # conservative than the reference's recovery budget.
+        self._low_streak = 0
+        self.hard_floor = 12
+        self.low_streak_limit = 3
 
     # ------------------------------------------------------------- cache
     def refresh_cache(self):
@@ -199,6 +208,11 @@ class ChunkedTracker:
         return (fid, ts, T)
 
     def _dispatch_buffer(self):
+        # refresh at chunk rate (not keyframe rate): the async mapper
+        # triangulates new points between keyframes, and stale caches are
+        # how the device pipeline starves of inliers. Cost: one host covis
+        # query + ~200 KB h2d per chunk.
+        self.refresh_cache()
         if self.cache is None or self.state is None:
             self.refresh_cache()
             self._sync_state_from_tracker()
@@ -218,8 +232,12 @@ class ChunkedTracker:
             imgs.append(imgs[-1])
         batch = np.stack(imgs)
         self.state, outs, feats = self._step(self.state, self.cache, jnp.asarray(batch))
-        # start moving the tiny outputs home; consumed a chunk later
-        for leaf in (outs.R, outs.t, outs.n_inliers, outs.obs_cache_idx):
+        # start moving the tiny outputs AND the chunk's features home;
+        # consumed a chunk later. Prefetching every frame's features (~1 MB
+        # per 16-frame chunk) costs ~20 ms of h2d-overlapped bandwidth and
+        # makes keyframe creation at retire time a pure host operation —
+        # fetching per keyframe on demand paid a full tunnel RTT each time.
+        for leaf in (outs.R, outs.t, outs.n_inliers, outs.obs_cache_idx) + tuple(feats):
             try:
                 leaf.copy_to_host_async()
             except Exception:
@@ -261,9 +279,10 @@ class ChunkedTracker:
         t_all = np.asarray(p.outs.t)
         n_inl_all = np.asarray(p.outs.n_inliers)
         obs_cache_all = np.asarray(p.outs.obs_cache_idx)
+        # materialize the whole chunk's features once (async-copied at
+        # dispatch time): per-frame records below are cheap numpy views
+        p.feats = Features(*[np.asarray(leaf) for leaf in p.feats])
         results = []
-        # prefetch keyframe-candidate features early so transfers overlap the
-        # host-side retire loop (policy re-checked exactly per frame below)
         for i in range(p.n_valid):
             fid, ts = p.fids[i], p.tss[i]
             n_inl = int(n_inl_all[i])
@@ -276,8 +295,13 @@ class ChunkedTracker:
             obs_mp[stale] = NO_POINT
             T_abs = np.asarray(T.matrix())
             if n_inl < cfg.min_inliers_local:
+                self._low_streak += 1
+            else:
+                self._low_streak = 0
+            if n_inl < self.hard_floor or self._low_streak >= self.low_streak_limit:
                 # tracking lost mid-chunk: replay the remainder (this chunk,
                 # all later pending chunks) through the per-frame slow path
+                self._low_streak = 0
                 t.state = RECENTLY_LOST
                 t.last = FrameRecord(
                     self._fetch_features(p.feats, i), T, obs_mp, ts, fid
