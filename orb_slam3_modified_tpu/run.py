@@ -71,6 +71,7 @@ def main(argv=None):
     }[args.sensor]
     sys_cfg = SystemConfig(
         cam=cam, sensor=sensor, extractor=ecfg,
+        feat_cap=ecfg.n_features,
         use_loop_closing=not args.no_loop,
         bf=bf if "stereo" in args.sensor or args.sensor == "rgbd" else 0.0,
     )
@@ -160,6 +161,7 @@ def main(argv=None):
     print(slam.timing.dump())
     fps = n_done / (time.perf_counter() - t_start)
     print(f"done: {n_done} frames at {fps:.1f} fps")
+    return slam
 
 
 if __name__ == "__main__":

@@ -159,6 +159,9 @@ class SlamSystem:
             t.imu.first_kf_ts = None
             t.imu.initialized = False
             t.imu.stage = 0
+            t.imu.bad_imu = False
+            t.imu.t_motion = 0.0
+            t.imu.v_w = np.zeros(3, np.float32)
 
     def _relocalize(self, feats, frame_id):
         from ..loop.relocalization import relocalize
@@ -318,6 +321,14 @@ class SlamSystem:
         """Multi-map recovery: on LOST, store the map and start a new one
         (reference: src/Tracking.cc:2020-2026 — maps with <=10 KFs are reset
         instead)."""
+        imu = self.tracker.imu
+        if imu is not None and imu.bad_imu:
+            # insufficient motion for inertial init: the map's scale/gravity
+            # are unobservable — reset the active map (reference: mbBadImu,
+            # src/LocalMapping.cc:138-147, checked by the tracker at
+            # src/Tracking.cc:1808)
+            self.reset_active_map()
+            return
         if self.tracker.state != LOST:
             return
         if self._localization_only:

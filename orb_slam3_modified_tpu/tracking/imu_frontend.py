@@ -66,6 +66,12 @@ class ImuFrontend:
         self.kf_chain: list = []  # [(kf_idx, Preintegrated from prev kf)]
         self.first_kf_ts: float | None = None
         self.R_gw = np.eye(3, dtype=np.float32)  # gravity alignment applied
+        # bad-IMU detection (reference: src/LocalMapping.cc:138-147 — if the
+        # camera barely moves before VIBA2, inertial init is unobservable and
+        # the active map must be reset). t_motion accumulates only while the
+        # rig is actually moving, mirroring the reference's mTinit clock.
+        self.bad_imu = False
+        self.t_motion = 0.0
 
     # ----------------------------------------------------------- per frame
     def integrate_frame(self, acc, gyro, dts):
@@ -152,6 +158,21 @@ class ImuFrontend:
             )
         self.preint_kf = None
         slam_map.kf_vel[kf_idx] = self.v_w
+        # bad-IMU gate over the last three keyframes (reference:
+        # src/LocalMapping.cc:138-147: dist = |c_k - c_{k-1}| + |c_{k-1} -
+        # c_{k-2}|; not enough motion before VIBA2 -> reset + mbBadImu)
+        if len(self.kf_chain) >= 3 and self.stage < 3:
+            ks = [c[0] for c in self.kf_chain[-3:]]
+            if all(slam_map.kf_valid[x] for x in ks):
+                cs = [-slam_map.kf_R[x].T @ slam_map.kf_t[x] for x in ks]
+                dist = float(
+                    np.linalg.norm(cs[2] - cs[1]) + np.linalg.norm(cs[1] - cs[0])
+                )
+                dt_kf = float(slam_map.kf_ts[ks[2]] - slam_map.kf_ts[ks[1]])
+                if dist > 0.05:
+                    self.t_motion += max(dt_kf, 0.0)
+                elif self.initialized and self.t_motion < 10.0 and dist < 0.02:
+                    self.bad_imu = True
 
     def on_initial_keyframes(self, k0: int, k1: int, ts0: float, ts1: float, slam_map):
         """Register the monocular-init keyframe pair: the accumulated

@@ -46,12 +46,53 @@ def render_textured_scene(
     pw = c[None] + s[:, None] * d
     valid = (s > 0.1) & (np.abs(pw[:, 0]) < plane_half) & (np.abs(pw[:, 1]) < plane_half)
     th, tw = texture.shape
+    pw = np.nan_to_num(pw)  # invalid rays are masked by `valid` below
     tx = ((pw[:, 0] + plane_half) / (2 * plane_half) * (tw - 1)).astype(np.int32)
     ty = ((pw[:, 1] + plane_half) / (2 * plane_half) * (th - 1)).astype(np.int32)
     tx = np.clip(tx, 0, tw - 1)
     ty = np.clip(ty, 0, th - 1)
     img = np.where(valid, texture[ty, tx], 20.0)
     return img.reshape(h, w).astype(np.float32)
+
+
+def orbit_state(t: float, period: float, radius: float, sweep: float,
+                height: float = 0.4, ring: bool = False, ring_z: float = -4.0):
+    """Analytic camera/body state for consistent image + IMU synthesis.
+
+    Two layouts, both looking at the origin (plane at z=+2 beyond it):
+
+    - arc (default): camera on an arc in the x-z plane (matches
+      utils.synthetic.orbit_trajectory) — good for partial sweeps, but a full
+      revolution passes within ~1 m of the plane (texture blows up).
+    - ring: camera on a horizontal circle at z=ring_z with vertical bobbing —
+      plane distance stays ~constant over a FULL revolution, so a 2-pi sweep
+      is a proper loop-closure sequence.
+
+    Returns (R_cw (3,3), p_w (3,), v_w (3,), a_w (3,)) — camera-from-world
+    rotation, camera center, velocity, acceleration (world frame, no gravity).
+    """
+    a = sweep * t / period
+    da = sweep / period
+    sa, ca = np.sin(a), np.cos(a)
+    if ring:
+        s3, c3 = np.sin(3 * a), np.cos(3 * a)
+        p = np.array([radius * sa, radius * ca, ring_z + height * (1 - c3)])
+        v = np.array([radius * ca, -radius * sa, 3 * height * s3]) * da
+        acc = np.array([-radius * sa, -radius * ca, 9 * height * c3]) * da**2
+    else:
+        p = np.array([radius * sa, height * np.sin(3 * a), -radius * ca])
+        v = np.array([radius * ca, 3 * height * np.cos(3 * a), radius * sa]) * da
+        acc = np.array(
+            [-radius * sa, -9 * height * np.sin(3 * a), radius * ca]
+        ) * da**2
+    # look-at-origin frame (matches orbit_trajectory)
+    fwd = -p / np.linalg.norm(p)
+    up = np.array([0.0, -1.0, 0.0])
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    up2 = np.cross(fwd, right)
+    R_wc = np.stack([right, up2, fwd], axis=1)
+    return R_wc.T, p, v, acc
 
 
 def write_euroc_sequence(
@@ -61,35 +102,98 @@ def write_euroc_sequence(
     fps: float = 20.0,
     seed: int = 0,
     radius: float = 3.0,
+    sweep: float = np.pi / 4,
+    height: float = 0.4,
+    stereo_baseline: float = 0.0,
+    with_imu: bool = False,
+    imu_rate: float = 200.0,
+    closed_loop: bool = False,
 ):
-    """Render an orbit over a textured plane into EuRoC layout; returns the
-    list of ground-truth T_cw (4, 4)."""
+    """Render an orbit over a textured plane into EuRoC layout.
+
+    Mirrors the reference dataset surface the example mains consume
+    (reference: mono_inertial_euroc.cc LoadImages/LoadIMU — mav0/cam0/data.csv,
+    mav0/cam1 for stereo, mav0/imu0/data.csv with gyro-then-acc columns):
+
+    - ``closed_loop=True`` sets sweep to a full revolution, so the camera
+      revisits its start view — a loop-closure target.
+    - ``stereo_baseline > 0`` renders cam1 displaced by +baseline along the
+      left camera's x axis (rectified-stereo geometry).
+    - ``with_imu`` writes an ideal body-frame IMU stream (body == cam0 frame,
+      gravity = -z world, 9.81) consistent with the rendered trajectory.
+
+    Returns the list of ground-truth T_cw (4, 4) for cam0.
+    """
     import cv2
 
-    from .synthetic import orbit_trajectory
-
+    ring = closed_loop
+    if closed_loop:
+        sweep = 2 * np.pi
     rng = np.random.default_rng(seed)
     tex_small = rng.uniform(0, 255, (96, 96)).astype(np.float32)
     texture = cv2.resize(tex_small, (1024, 1024), interpolation=cv2.INTER_CUBIC)
 
+    period = n_frames / fps  # full sweep duration; frame i at i/fps
+    rays = camera_rays(cam)
     cam_dir = os.path.join(out_dir, "mav0", "cam0")
     os.makedirs(os.path.join(cam_dir, "data"), exist_ok=True)
-    T_all = orbit_trajectory(n_frames, radius=radius, sweep=np.pi / 4)
-    # orbit looks at origin; push the plane behind the origin (z=6 world)
+    cam1_dir = os.path.join(out_dir, "mav0", "cam1")
+    if stereo_baseline > 0:
+        os.makedirs(os.path.join(cam1_dir, "data"), exist_ok=True)
+    T_rl = np.eye(4)
+    T_rl[0, 3] = -stereo_baseline  # p_right = p_left - b*ex
+
     lines = ["#timestamp [ns],filename"]
     gts = []
-    import jax.numpy as jnp
-
     for i in range(n_frames):
+        R_cw, p, _, _ = orbit_state(i / fps, period, radius, sweep, height, ring)
         T = np.eye(4)
-        T[:3, :3] = np.asarray(T_all.R[i])
-        T[:3, 3] = np.asarray(T_all.t[i])
-        img = render_textured_scene(T, cam, texture, plane_z=2.0, plane_half=10.0)
-        t_ns = int(i / fps * 1e9)
+        T[:3, :3] = R_cw
+        T[:3, 3] = -R_cw @ p
+        img = render_textured_scene(
+            T, cam, texture, plane_z=2.0, plane_half=10.0, rays_c=rays
+        )
+        t_ns = int(round(i / fps * 1e9))
         name = f"{t_ns}.png"
         cv2.imwrite(os.path.join(cam_dir, "data", name), img.astype(np.uint8))
+        if stereo_baseline > 0:
+            img_r = render_textured_scene(
+                T_rl @ T, cam, texture, plane_z=2.0, plane_half=10.0, rays_c=rays
+            )
+            cv2.imwrite(
+                os.path.join(cam1_dir, "data", name), img_r.astype(np.uint8)
+            )
         lines.append(f"{t_ns},{name}")
         gts.append(T)
     with open(os.path.join(cam_dir, "data.csv"), "w") as f:
         f.write("\n".join(lines) + "\n")
+    if stereo_baseline > 0:
+        with open(os.path.join(cam1_dir, "data.csv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    if with_imu:
+        imu_dir = os.path.join(out_dir, "mav0", "imu0")
+        os.makedirs(imu_dir, exist_ok=True)
+        g_w = np.array([0.0, 0.0, -9.81])
+        dt_rot = 1e-4  # finite-difference step for the analytic rotation rate
+        rows = ["#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z"]
+        n_samples = int((n_frames - 1) / fps * imu_rate) + 1
+        for j in range(n_samples):
+            tau = j / imu_rate
+            R_cw, _, _, a_w = orbit_state(tau, period, radius, sweep, height, ring)
+            R_cw2, _, _, _ = orbit_state(tau + dt_rot, period, radius, sweep, height, ring)
+            # body == cam: R_wb = R_cw^T; omega_b = vee(R_wb^T dR_wb/dt)
+            dR = R_cw @ R_cw2.T  # R_wb(t)^T R_wb(t+dt)
+            w_b = (
+                np.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0], dR[1, 0] - dR[0, 1]])
+                / (2.0 * dt_rot)
+            )
+            f_b = R_cw @ (a_w - g_w)  # specific force in body frame
+            t_ns = int(round(tau * 1e9))
+            rows.append(
+                f"{t_ns},{w_b[0]:.9f},{w_b[1]:.9f},{w_b[2]:.9f},"
+                f"{f_b[0]:.9f},{f_b[1]:.9f},{f_b[2]:.9f}"
+            )
+        with open(os.path.join(imu_dir, "data.csv"), "w") as f:
+            f.write("\n".join(rows) + "\n")
     return gts

@@ -1,0 +1,183 @@
+"""End-to-end CLI gates: every sensor config through run.py with an ATE bound.
+
+The reference verifies itself by running example mains over datasets and
+scoring ATE (reference: Examples/Monocular-Inertial/mono_inertial_euroc.cc
+:120-249 harness pattern + evaluation/evaluate_ate_scale.py:50-75). These
+tests are that harness for the TPU build: a rendered closed-loop EuRoC-layout
+sequence (images + stereo pair + ideal IMU) driven through the SAME CLI entry
+point users run, one test per sensor config, each asserting a trajectory
+error bound.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from orb_slam3_modified_tpu.cameras import Camera
+from orb_slam3_modified_tpu.eval.ate import ate_rmse
+
+CAM = Camera.pinhole(330.0, 330.0, 256.0, 192.0, width=512, height=384)
+N_FRAMES = 192
+FPS = 20.0
+BASELINE_M = 0.11
+
+
+def _load_tum(path):
+    rows = np.loadtxt(path)
+    rows = np.atleast_2d(rows)
+    return rows[:, 0], rows[:, 1:4]  # ts, camera center
+
+
+def _gt_centers(gts):
+    return np.array([-T[:3, :3].T @ T[:3, 3] for T in gts])
+
+
+def _ate_vs_gt(traj_path, gts, with_scale=True):
+    ts, est = _load_tum(traj_path)
+    fids = np.round(ts * FPS).astype(int)
+    ok = (fids >= 0) & (fids < len(gts))
+    gt = _gt_centers([gts[i] for i in fids[ok]])
+    return ate_rmse(est[ok], gt, with_scale=with_scale), int(ok.sum())
+
+
+def _write_config(path, cam, extra=""):
+    lines = [
+        "%YAML:1.0",
+        "---",
+        f"Camera.fx: {cam.fx}",
+        f"Camera.fy: {cam.fy}",
+        f"Camera.cx: {cam.cx}",
+        f"Camera.cy: {cam.cy}",
+        f"Camera.width: {cam.width}",
+        f"Camera.height: {cam.height}",
+        f"Camera.fps: {FPS}",
+        "ORBextractor.nFeatures: 512",
+        "ORBextractor.nLevels: 4",
+        extra,
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def loop_sequence(tmp_path_factory):
+    """One shared closed-loop render: cam0 + cam1 (stereo) + ideal IMU."""
+    from orb_slam3_modified_tpu.utils.synthetic_dataset import write_euroc_sequence
+
+    root = str(tmp_path_factory.mktemp("euroc_cli"))
+    gts = write_euroc_sequence(
+        root,
+        CAM,
+        n_frames=N_FRAMES,
+        fps=FPS,
+        radius=3.0,
+        closed_loop=True,
+        stereo_baseline=BASELINE_M,
+        with_imu=True,
+    )
+    return root, gts
+
+
+class TestCliConfigs:
+    def test_mono(self, loop_sequence, tmp_path):
+        """Monocular over the full closed loop (reference: mono_euroc.cc)."""
+        from orb_slam3_modified_tpu.run import main as run_main
+
+        root, gts = loop_sequence
+        out = str(tmp_path / "mono.txt")
+        cfg = str(tmp_path / "mono.yaml")
+        _write_config(cfg, CAM)
+        slam = run_main(
+            ["--dataset", "euroc", "--path", root, "--config", cfg,
+             "--sensor", "mono", "--out", out]
+        )
+        (rmse, s), n = _ate_vs_gt(out, gts, with_scale=True)
+        assert n >= 0.7 * N_FRAMES, f"only {n} frames tracked"
+        assert rmse < 0.30, f"mono ATE {rmse:.3f} m"
+        assert slam.map.n_keyframes() >= 8
+
+    def test_stereo(self, loop_sequence, tmp_path):
+        """Rectified stereo: metric scale must come out of the baseline
+        (reference: stereo_euroc.cc; ComputeStereoMatches src/Frame.cc:811)."""
+        from orb_slam3_modified_tpu.run import main as run_main
+
+        root, gts = loop_sequence
+        out = str(tmp_path / "stereo.txt")
+        cfg = str(tmp_path / "stereo.yaml")
+        _write_config(cfg, CAM, extra=f"Camera.bf: {BASELINE_M * CAM.fx}")
+        run_main(
+            ["--dataset", "euroc", "--path", root, "--config", cfg,
+             "--sensor", "stereo", "--out", out, "--max-frames", "96",
+             "--no-loop"]
+        )
+        (rmse, s), n = _ate_vs_gt(out, gts, with_scale=True)
+        assert n >= 60, f"only {n} frames tracked"
+        assert rmse < 0.30, f"stereo ATE {rmse:.3f} m"
+        # the alignment scale gates metricness: mono would be arbitrary
+        assert abs(s - 1.0) < 0.15, f"stereo scale off: {s:.3f}"
+
+    def test_mono_inertial(self, loop_sequence, tmp_path):
+        """Mono-inertial: staged IMU init must recover metric scale
+        (reference: mono_inertial_euroc.cc; InitializeIMU
+        src/LocalMapping.cc:1173)."""
+        from orb_slam3_modified_tpu.run import main as run_main
+
+        root, gts = loop_sequence
+        out = str(tmp_path / "mi.txt")
+        cfg = str(tmp_path / "mi.yaml")
+        _write_config(cfg, CAM)
+        slam = run_main(
+            ["--dataset", "euroc", "--path", root, "--config", cfg,
+             "--sensor", "mono-imu", "--out", out, "--no-loop"]
+        )
+        assert slam.tracker.imu is not None and slam.tracker.imu.initialized, (
+            "IMU never initialized"
+        )
+        ts, est = _load_tum(out)
+        fids = np.round(ts * FPS).astype(int)
+        # metric gate over the post-init tail (init itself is scale-free)
+        tail = fids >= N_FRAMES // 2
+        assert tail.sum() >= 40, f"tracked tail too short ({tail.sum()})"
+        gt = _gt_centers([gts[i] for i in fids[tail]])
+        rmse, s = ate_rmse(est[tail], gt, with_scale=True)
+        assert abs(s - 1.0) < 0.15, f"metric scale off: {s:.3f}"
+        assert rmse < 0.30, f"mono-inertial ATE {rmse:.3f} m"
+
+    def test_fisheye(self, tmp_path):
+        """Kannala-Brandt monocular through the CLI (reference:
+        KannalaBrandt8 model, include/CameraModels/KannalaBrandt8.h:78)."""
+        from orb_slam3_modified_tpu.run import main as run_main
+        from orb_slam3_modified_tpu.utils.synthetic_dataset import (
+            write_euroc_sequence,
+        )
+
+        kb = Camera.kb8(
+            280.0, 280.0, 256.0, 192.0, -0.01, 0.02, -0.005, 0.001,
+            width=512, height=384,
+        )
+        root = str(tmp_path / "fisheye_seq")
+        gts = write_euroc_sequence(
+            root, kb, n_frames=80, fps=FPS, radius=3.0, sweep=np.pi / 3
+        )
+        out = str(tmp_path / "fe.txt")
+        cfg = str(tmp_path / "fe.yaml")
+        _write_config(
+            cfg,
+            kb,
+            extra="\n".join(
+                [
+                    "Camera.type: KannalaBrandt8",
+                    "Camera.k1: -0.01",
+                    "Camera.k2: 0.02",
+                    "Camera.k3: -0.005",
+                    "Camera.k4: 0.001",
+                ]
+            ),
+        )
+        run_main(
+            ["--dataset", "euroc", "--path", root, "--config", cfg,
+             "--sensor", "mono", "--out", out, "--no-loop"]
+        )
+        (rmse, s), n = _ate_vs_gt(out, gts, with_scale=True)
+        assert n >= 50, f"only {n} frames tracked"
+        assert rmse < 0.30, f"fisheye ATE {rmse:.3f} m"

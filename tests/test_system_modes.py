@@ -112,3 +112,65 @@ class TestTrajectoryFormats:
         assert row.shape == (12,)
         R = row.reshape(3, 4)[:, :3]
         assert np.allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+
+class TestBadImu:
+    def test_insufficient_motion_resets_map(self):
+        """Reference: mbBadImu (src/LocalMapping.cc:138-147) — a stationary
+        rig after inertial init makes scale/gravity unobservable; the system
+        must reset the active map."""
+        from orb_slam3_modified_tpu.slam_map.map_state import MapState
+        from orb_slam3_modified_tpu.tracking.imu_frontend import (
+            ImuConfig,
+            ImuFrontend,
+        )
+
+        m = MapState.create(max_kf=16, max_mp=256, feat_cap=64)
+        imu = ImuFrontend(ImuConfig())
+        imu.initialized = True
+        imu.stage = 1  # post-init, pre-VIBA2
+        from orb_slam3_modified_tpu.imu.preintegration import ImuBias, integrate
+        import jax.numpy as jnp
+
+        pre = integrate(
+            jnp.zeros((4, 3)), jnp.zeros((4, 3)), jnp.full(4, 0.05),
+            jnp.ones(4, bool), ImuBias.zero(),
+        )
+        # three keyframes at (almost) the same camera center
+        for i in range(3):
+            k = m.alloc_keyframe()
+            m.kf_R[k] = np.eye(3)
+            m.kf_t[k] = np.array([0.001 * i, 0, 0], np.float32)
+            m.kf_ts[k] = 0.5 * i
+            m.kf_frame_id[k] = i
+            imu.preint_kf = pre
+            imu.on_keyframe(k, 0.5 * i, m)
+        assert imu.bad_imu, "stationary inertial rig must flag bad IMU"
+
+    def test_moving_rig_not_flagged(self):
+        from orb_slam3_modified_tpu.slam_map.map_state import MapState
+        from orb_slam3_modified_tpu.tracking.imu_frontend import (
+            ImuConfig,
+            ImuFrontend,
+        )
+        from orb_slam3_modified_tpu.imu.preintegration import ImuBias, integrate
+        import jax.numpy as jnp
+
+        m = MapState.create(max_kf=16, max_mp=256, feat_cap=64)
+        imu = ImuFrontend(ImuConfig())
+        imu.initialized = True
+        imu.stage = 1
+        pre = integrate(
+            jnp.zeros((4, 3)), jnp.zeros((4, 3)), jnp.full(4, 0.05),
+            jnp.ones(4, bool), ImuBias.zero(),
+        )
+        for i in range(4):
+            k = m.alloc_keyframe()
+            m.kf_R[k] = np.eye(3)
+            m.kf_t[k] = np.array([0.2 * i, 0, 0], np.float32)  # 20 cm/KF
+            m.kf_ts[k] = 0.5 * i
+            m.kf_frame_id[k] = i
+            imu.preint_kf = pre
+            imu.on_keyframe(k, 0.5 * i, m)
+        assert not imu.bad_imu
+        assert imu.t_motion > 0
