@@ -169,6 +169,41 @@ def build_vocabulary(
     )
 
 
+def save_vocabulary_npz(path: str, voc: Vocabulary) -> None:
+    """Persist a vocabulary as npz (the flat arrays serialize directly —
+    the TPU-native analog of the reference's ORBvoc.txt distribution)."""
+    np.savez_compressed(
+        path,
+        k=voc.k, depth=voc.depth, node_desc=voc.node_desc,
+        children=voc.children, word_id=voc.word_id,
+        word_weight=voc.word_weight, n_words=voc.n_words,
+    )
+
+
+def load_vocabulary_npz(path: str) -> Vocabulary:
+    d = np.load(path)
+    return Vocabulary(
+        k=int(d["k"]), depth=int(d["depth"]),
+        node_desc=d["node_desc"].astype(np.uint32),
+        children=d["children"].astype(np.int32),
+        word_id=d["word_id"].astype(np.int32),
+        word_weight=d["word_weight"].astype(np.float32),
+        n_words=int(d["n_words"]),
+    )
+
+
+def default_vocabulary() -> "Vocabulary | None":
+    """The corpus-trained vocabulary shipped with the package (trained by
+    scripts/train_default_vocab.py over rendered-scene ORB descriptors),
+    or None if the asset is absent."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "assets", "default_vocab.npz"
+    )
+    return load_vocabulary_npz(path) if os.path.exists(path) else None
+
+
 def load_orbvoc_text(path: str) -> Vocabulary:
     """Load the upstream ORBvoc.txt format (DBoW2 text export):
     header 'k L scoring weighting', then one node per line:

@@ -81,6 +81,12 @@ class LoopCloser:
         self._gba_abort = threading.Event()
         self.n_gba_runs = 0
         self.n_gba_aborted = 0
+        # inertial welding: set by the system facade for *-inertial sensors.
+        # vi_refine_fn(k) runs a joint VI window BA over the temporal chain —
+        # the MergeInertialBA analog (reference: src/Optimizer.cc:3948,
+        # called from MergeLocal2 src/LoopClosing.cc:1783).
+        self.imu = None
+        self.vi_refine_fn = None
         slam_map.kf_removed_callbacks.append(self._on_kf_removed)
 
     def _on_kf_removed(self, k: int):
@@ -415,6 +421,20 @@ class LoopCloser:
             # the junction keeps its pre-BA geometry (reference behavior:
             # merge completes even when the welding BA is skipped)
             log.exception("merge weld BA failed; junction left unrefined")
+        # inertial maps: joint VI refinement of the temporal window after
+        # the weld — poses + velocities + biases + points (reference:
+        # MergeInertialBA, src/Optimizer.cc:3948, from MergeLocal2
+        # src/LoopClosing.cc:1783; velocities were Sim3-transported by
+        # merge_map_into already)
+        if (
+            self.vi_refine_fn is not None
+            and self.imu is not None
+            and self.imu.initialized
+        ):
+            try:
+                self.vi_refine_fn(int(k))
+            except Exception:
+                log.exception("merge inertial BA failed; weld kept visual-only")
 
     def _global_ba(self, abort: threading.Event | None = None):
         """Reference: RunGlobalBundleAdjustment -> GlobalBundleAdjustemnt(10

@@ -22,6 +22,10 @@ def main(argv=None):
     p.add_argument("--dataset", choices=["euroc", "tum", "kitti"], required=True)
     p.add_argument("--path", required=True)
     p.add_argument("--config", default=None, help="settings YAML (reference format)")
+    p.add_argument("--vocab", default=None,
+                   help="vocabulary: ORBvoc.txt (reference text format) or "
+                        ".npz (scripts/train_default_vocab.py); default = "
+                        "packaged corpus-trained vocabulary")
     p.add_argument("--sensor",
                    choices=["mono", "stereo", "rgbd", "mono-imu", "stereo-imu"],
                    default="mono")
@@ -69,9 +73,19 @@ def main(argv=None):
         "mono-imu": IMU_MONOCULAR,
         "stereo-imu": IMU_STEREO,
     }[args.sensor]
+    voc = None
+    if args.vocab:
+        from .bow.vocabulary import load_orbvoc_text, load_vocabulary_npz
+
+        voc = (
+            load_orbvoc_text(args.vocab)
+            if args.vocab.endswith(".txt")
+            else load_vocabulary_npz(args.vocab)
+        )
     sys_cfg = SystemConfig(
         cam=cam, sensor=sensor, extractor=ecfg,
         feat_cap=ecfg.n_features,
+        vocabulary=voc,
         use_loop_closing=not args.no_loop,
         bf=bf if "stereo" in args.sensor or args.sensor == "rgbd" else 0.0,
     )

@@ -70,8 +70,15 @@ class SlamSystem:
         self.timing = TimeStats()
         voc = cfg.vocabulary
         if voc is None:
-            # self-trained fallback vocabulary from random descriptors; real
-            # deployments pass a corpus-trained vocabulary (bow/vocabulary)
+            # corpus-trained default vocabulary shipped with the package
+            # (scripts/train_default_vocab.py — the reference expects an
+            # externally trained ORBvoc.txt, src/System.cc:118)
+            from ..bow.vocabulary import default_vocabulary
+
+            voc = default_vocabulary()
+        if voc is None:
+            # last-resort fallback: random-descriptor vocabulary (tests
+            # without the asset; useless for real place recognition)
             rng = np.random.default_rng(0)
             voc = build_vocabulary(
                 rng.integers(0, 2**32, (4000, 8), dtype=np.uint32), k=8, depth=3
@@ -85,12 +92,21 @@ class SlamSystem:
         if cfg.sensor in (IMU_MONOCULAR, IMU_STEREO):
             from ..tracking.imu_frontend import ImuConfig, ImuFrontend
 
-            self.tracker.imu = ImuFrontend(cfg.imu or ImuConfig())
+            imu_cfg = cfg.imu or ImuConfig()
+            # stereo-inertial: the map is metric from the baseline — the IMU
+            # init must not re-solve scale (reference: bMonocular gating in
+            # InitializeIMU, src/LocalMapping.cc:1173)
+            imu_cfg.mono = cfg.sensor == IMU_MONOCULAR
+            self.tracker.imu = ImuFrontend(imu_cfg)
             self.mapper.imu = self.tracker.imu
             if self.closer is not None:
                 # inertial maps: gravity fixes roll/pitch and (with IMU) the
                 # scale, so loop Sim3 is scale-fixed (reference: bFixScale)
                 self.closer.cfg.fix_scale = True
+                # MergeInertialBA analog: joint VI window refinement after a
+                # map weld (reference: src/Optimizer.cc:3948)
+                self.closer.imu = self.tracker.imu
+                self.closer.vi_refine_fn = self.mapper._vi_refine
         if self.closer is not None:
             self.tracker.relocalize_fn = self._relocalize
         self.ecfg = cfg.extractor or ExtractorConfig(n_features=cfg.feat_cap)

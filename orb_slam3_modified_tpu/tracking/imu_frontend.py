@@ -42,6 +42,11 @@ class ImuConfig:
     init_time: float = 2.0  # seconds of keyframes before first IMU init
     viba1_time: float = 5.0
     viba2_time: float = 15.0
+    # monocular maps have free scale; stereo/RGB-D-inertial maps are already
+    # metric so the init must NOT rescale them (reference: InitializeIMU's
+    # bMonocular -> FixedScale in InertialOptimization/FullInertialBA,
+    # src/LocalMapping.cc:1173, src/Optimizer.cc:3042)
+    mono: bool = True
 
 
 class ImuFrontend:
@@ -250,10 +255,11 @@ class ImuFrontend:
         R_wb = jnp.asarray(np.stack(R_wb).astype(np.float32))
         p_wb = jnp.asarray(np.stack(p_wb).astype(np.float32))
         v0 = jnp.zeros((len(kfs2), 3), jnp.float32)
-        # scale is solved once; refinement stages keep the map metric
-        # (reference: VIBA1/VIBA2 run FullInertialBA with bFixScale for the
-        # already-initialized map)
-        fix_scale = self.stage >= 1
+        # scale is solved once for MONOCULAR maps; refinement stages — and
+        # stereo/RGB-D maps, which are metric from the baseline — keep it
+        # fixed (reference: VIBA1/VIBA2 run FullInertialBA with bFixScale;
+        # non-mono InitializeIMU never frees the scale)
+        fix_scale = self.stage >= 1 or not self.cfg.mono
         res = inertial_only_optimization(chain, R_wb, p_wb, v0, fix_scale, 40)
         scale = float(res.scale)
         # sanity gates (reference: InitializeIMU rejects scale<1e-1 for mono

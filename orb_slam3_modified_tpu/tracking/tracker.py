@@ -68,6 +68,10 @@ class TrackerConfig:
     min_inliers_local: int = 30  # reference: mnMatchesInliers < 30 -> lost
     max_frames_between_kf: int = 10  # reference mMaxFrames ~ fps; tightened
     min_frames_between_kf: int = 3  # reference mMinFrames
+    # keep creating keyframes on IMU-predicted poses while RECENTLY_LOST
+    # (reference: mInsertKFsLost, include/Tracking.h:300; YAML
+    # InsertKFsWhenLost)
+    insert_kfs_when_lost: bool = True
     kf_tracked_ratio: float = 0.9  # reference thRefRatio for mono
     depth_point_max: float = 40.0  # stereo/RGB-D close-point depth gate (m)
     bf: float = 0.0  # stereo baseline * fx (reference mbf); 0 = no stereo
@@ -470,6 +474,20 @@ class Tracker:
                               depth=self._cur_depth, ur=self._cur_ur)
             self._update_motion_model(rec)
             self.last = rec
+            self.frames_since_kf += 1
+            # InsertKFsWhenLost: with an initialized IMU the predicted pose
+            # is still trustworthy, so keep extending the map while visually
+            # weak (reference: mInsertKFsLost, include/Tracking.h:300,
+            # applied in CreateNewKeyFrame gating src/Tracking.cc:3067)
+            if (
+                cfg.insert_kfs_when_lost
+                and self.imu is not None
+                and self.imu.initialized
+                and self.state == RECENTLY_LOST
+                and self.frames_since_kf >= cfg.min_frames_between_kf
+                and int((obs_mp != NO_POINT).sum()) >= 15
+            ):
+                self._create_keyframe(rec)
             return T_cur
         self.state = OK
         self.lost_frames = 0

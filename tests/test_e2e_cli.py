@@ -143,6 +143,32 @@ class TestCliConfigs:
         assert abs(s - 1.0) < 0.15, f"metric scale off: {s:.3f}"
         assert rmse < 0.30, f"mono-inertial ATE {rmse:.3f} m"
 
+    def test_stereo_inertial(self, loop_sequence, tmp_path):
+        """Stereo-inertial: both metric cues active (reference:
+        stereo_inertial_euroc.cc; BASELINE.md configs row)."""
+        from orb_slam3_modified_tpu.run import main as run_main
+
+        root, gts = loop_sequence
+        out = str(tmp_path / "si.txt")
+        cfg = str(tmp_path / "si.yaml")
+        _write_config(cfg, CAM, extra=f"Camera.bf: {BASELINE_M * CAM.fx}")
+        run_main(
+            ["--dataset", "euroc", "--path", root, "--config", cfg,
+             "--sensor", "stereo-imu", "--out", out, "--max-frames", "120",
+             "--no-loop"]
+        )
+        ts, est = _load_tum(out)
+        fids = np.round(ts * FPS).astype(int)
+        assert len(fids) >= 70, f"only {len(fids)} frames tracked"
+        # gate the post-IMU-init stretch (the init transient realigns
+        # gravity/scale mid-run; the steady state is what must be metric)
+        tail = fids >= 50
+        assert tail.sum() >= 40, f"tracked tail too short ({tail.sum()})"
+        gt = _gt_centers([gts[i] for i in fids[tail]])
+        rmse, s = ate_rmse(est[tail], gt, with_scale=True)
+        assert rmse < 0.30, f"stereo-inertial ATE {rmse:.3f} m"
+        assert abs(s - 1.0) < 0.15, f"metric scale off: {s:.3f}"
+
     def test_fisheye(self, tmp_path):
         """Kannala-Brandt monocular through the CLI (reference:
         KannalaBrandt8 model, include/CameraModels/KannalaBrandt8.h:78)."""

@@ -198,3 +198,65 @@ class TestPoseGraph:
         assert err_after.mean() < err_before.mean()
         # scale untouched in 4-dof mode
         np.testing.assert_allclose(np.asarray(S_opt.s), np.asarray(prob.S.s), atol=1e-6)
+
+
+class TestVocabularyIO:
+    def _tiny_orbvoc_text(self, path, rng):
+        """Write a small tree in the upstream ORBvoc.txt format (reference:
+        TemplatedVocabulary::loadFromTextFile, TemplatedVocabulary.h:1338):
+        header 'k L score weight', then '<parent> <is_leaf> <32 bytes> <w>'
+        per node in BFS order."""
+        k, L = 3, 2
+        lines = [f"{k} {L} 0 0"]
+        # level 1: 3 children of root (internal), level 2: 3 leaves each
+        node_id = 0
+        for p in range(3):
+            b = " ".join(str(int(x)) for x in rng.integers(0, 256, 32))
+            lines.append(f"0 0 {b} 0.0")
+        for p in range(1, 4):
+            for c in range(3):
+                b = " ".join(str(int(x)) for x in rng.integers(0, 256, 32))
+                lines.append(f"{p} 1 {b} {0.1 * (c + 1):.3f}")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def test_load_orbvoc_text(self, tmp_path):
+        from orb_slam3_modified_tpu.bow.vocabulary import load_orbvoc_text
+
+        rng = np.random.default_rng(3)
+        p = str(tmp_path / "voc.txt")
+        self._tiny_orbvoc_text(p, rng)
+        voc = load_orbvoc_text(p)
+        assert voc.k == 3 and voc.depth == 2
+        assert voc.n_words == 9
+        assert (voc.word_weight > 0).all()
+        # transform must land every descriptor on a real word
+        w = voc.transform_np(random_desc(50, rng))
+        assert (w >= 0).all() and (w < 9).all()
+
+    def test_npz_roundtrip(self, tmp_path):
+        from orb_slam3_modified_tpu.bow.vocabulary import (
+            load_vocabulary_npz,
+            save_vocabulary_npz,
+        )
+
+        rng = np.random.default_rng(4)
+        voc = build_vocabulary(random_desc(1000, rng), k=5, depth=2)
+        p = str(tmp_path / "voc.npz")
+        save_vocabulary_npz(p, voc)
+        voc2 = load_vocabulary_npz(p)
+        descs = random_desc(64, rng)
+        np.testing.assert_array_equal(voc.transform_np(descs), voc2.transform_np(descs))
+
+    def test_default_vocabulary_asset(self):
+        """The packaged corpus-trained vocabulary must load and have real
+        (non-degenerate) idf weights."""
+        import pytest
+
+        from orb_slam3_modified_tpu.bow.vocabulary import default_vocabulary
+
+        voc = default_vocabulary()
+        if voc is None:
+            pytest.skip("default vocabulary asset not built")
+        assert voc.n_words >= 1000
+        assert float(voc.word_weight.std()) > 0.01  # trained, not uniform
