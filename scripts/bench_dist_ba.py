@@ -57,7 +57,7 @@ def build_problem(K=100, Pn=20000, obs_per_pt=5, seed=0):
     obs_cam = np.array(obs_cam, np.int32)
     obs_pt = np.array(obs_pt, np.int32)
     pc = np.einsum("oij,oj->oi", Rk[obs_cam], pts[obs_pt]) + tk[obs_cam]
-    uv = np.asarray(project(cam, jnp.asarray(pc)))
+    uv = np.array(project(cam, jnp.asarray(pc)))
     uv += rng.normal(0, 0.5, uv.shape).astype(np.float32)
     # perturb the state so the solver has work to do
     xi = rng.normal(0, 0.005, (K, 6)).astype(np.float32)
