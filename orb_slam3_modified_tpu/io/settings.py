@@ -41,6 +41,24 @@ class Settings:
     baseline: float = 0.0  # stereo: b*fx (ThDepth domain)
     th_depth: float = 35.0
     sensor: str = "monocular"
+    # pinhole radtan distortion (k1,k2,p1,p2,k3) of the (left) camera; None
+    # when the images are pre-rectified or the model is KB8
+    dist: Optional[np.ndarray] = None
+    # stereo rectification maps (reference Settings.h:44-121 needToRectify);
+    # when set, `cam`/`baseline` already describe the rectified pair
+    rect: object = None
+
+
+def _cv_mat(d, key):
+    """Parse an opencv-matrix node ({rows, cols, data}) if present."""
+    v = d.get(key)
+    if isinstance(v, dict) and "data" in v:
+        rows = int(v.get("rows", 1))
+        cols = int(v.get("cols", len(v["data"]) // max(rows, 1)))
+        return np.array(v["data"], np.float64).reshape(rows, cols)
+    if isinstance(v, (list, tuple)):
+        return np.array(v, np.float64)
+    return None
 
 
 def _load_opencv_yaml(path: str) -> dict:
@@ -74,6 +92,8 @@ def load_settings(path: str) -> Settings:
     cy = float(get(f"{prefix}.cy", 248.375))
     w = int(get("Camera.width", get("Camera1.width", 752)))
     h = int(get("Camera.height", get("Camera1.height", 480)))
+    dist = None
+    rect = None
     if str(cam_type).lower().startswith(("kannala", "fisheye")):
         k0 = float(get(f"{prefix}.k1", 0.0))
         k1 = float(get(f"{prefix}.k2", 0.0))
@@ -82,6 +102,53 @@ def load_settings(path: str) -> Settings:
         cam = Camera.kb8(fx, fy, cx, cy, k0, k1, k2, k3, width=w, height=h)
     else:
         cam = Camera.pinhole(fx, fy, cx, cy, width=w, height=h)
+        dvec = np.array(
+            [float(get(f"{prefix}.{k}", 0.0) or 0.0)
+             for k in ("k1", "k2", "p1", "p2", "k3")], np.float64
+        )
+        if np.any(dvec != 0):
+            dist = dvec
+
+    # ---- stereo rectification (reference: include/Settings.h:44-121
+    # needToRectify / precomputed LEFT./RIGHT. maps, src/Tracking.cc:621)
+    lk = _cv_mat(d, "LEFT.K")
+    if lk is not None:
+        # legacy EuRoC stereo block: K/D/R/P given per camera
+        from ..cameras.rectify import build_rectification_legacy
+
+        size = (int(d.get("LEFT.width", w)), int(d.get("LEFT.height", h)))
+        rect = build_rectification_legacy(
+            lk, _cv_mat(d, "LEFT.D"), _cv_mat(d, "LEFT.R"), _cv_mat(d, "LEFT.P"),
+            _cv_mat(d, "RIGHT.K"), _cv_mat(d, "RIGHT.D"),
+            _cv_mat(d, "RIGHT.R"), _cv_mat(d, "RIGHT.P"), size,
+        )
+    elif "Camera2.fx" in d and dist is not None:
+        # new-style two-pinhole-with-distortion rig: rectify from calibration
+        from ..cameras.rectify import build_rectification
+
+        K1m = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+        K2m = np.array(
+            [[float(d["Camera2.fx"]), 0, float(d["Camera2.cx"])],
+             [0, float(d["Camera2.fy"]), float(d["Camera2.cy"])],
+             [0, 0, 1]]
+        )
+        D2 = np.array(
+            [float(d.get(f"Camera2.{k}", 0.0) or 0.0)
+             for k in ("k1", "k2", "p1", "p2", "k3")], np.float64
+        )
+        T12 = _cv_mat(d, "Stereo.T_c1_c2")
+        if T12 is not None:
+            T12 = np.vstack([T12[:3], [0, 0, 0, 1]])
+            # x_c2 = R x_c1 + t with T_c1_c2 the pose of cam2 in cam1
+            Rrel = T12[:3, :3].T
+            trel = -Rrel @ T12[:3, 3]
+            rect = build_rectification(K1m, dist, K2m, D2, (w, h), Rrel, trel)
+    if rect is not None:
+        # the pipeline sees the rectified pair: rectified intrinsics, no
+        # distortion, metric bf from the rectified projection
+        cam = Camera.pinhole(rect.fx, rect.fy, rect.cx, rect.cy,
+                             width=w, height=h)
+        dist = None
 
     ext = ExtractorConfig(
         n_features=int(get("ORBextractor.nFeatures", 1000)),
@@ -107,12 +174,17 @@ def load_settings(path: str) -> Settings:
             T_bc=Tbc,
         )
 
+    baseline = float(get("Camera.bf", get("Stereo.b", 0.0)) or 0.0)
+    if rect is not None and rect.bf > 0:
+        baseline = rect.bf
     return Settings(
         cam=cam,
         extractor=ext,
         imu=imu,
         fps=float(get("Camera.fps", get("Camera.fps", 20.0)) or 20.0),
         rgb=bool(int(get("Camera.RGB", 1) or 1)),
-        baseline=float(get("Camera.bf", get("Stereo.b", 0.0)) or 0.0),
+        baseline=baseline,
         th_depth=float(get("ThDepth", get("Stereo.ThDepth", 35.0)) or 35.0),
+        dist=dist,
+        rect=rect,
     )

@@ -59,10 +59,14 @@ def main(argv=None):
         cam = st.cam
         ecfg = st.extractor
         bf = st.baseline
+        dist = st.dist
+        rect = st.rect
     else:
         cam = Camera.pinhole(458.654, 457.296, 367.215, 248.375, width=752, height=480)
         ecfg = ExtractorConfig()
         bf = 458.654 * 0.11
+        dist = None
+        rect = None
 
     from .system.slam_system import IMU_STEREO
 
@@ -88,6 +92,7 @@ def main(argv=None):
         vocabulary=voc,
         use_loop_closing=not args.no_loop,
         bf=bf if "stereo" in args.sensor or args.sensor == "rgbd" else 0.0,
+        dist=dist,
     )
     slam = SlamSystem(sys_cfg)
     if args.atlas_in:
@@ -138,10 +143,12 @@ def main(argv=None):
                 samples = imu_tuple(frame.imu, prev_imu_ts)
                 if frame.imu:
                     prev_imu_ts = frame.imu[-1].ts
-            slam.track_stereo(
-                img, jnp.asarray(frame.image_right), frame.ts,
-                imu_samples=samples,
-            )
+            img_r = jnp.asarray(frame.image_right)
+            if rect is not None:
+                # device-side rectification remap (reference: Settings
+                # precomputeRectificationMaps + cv::remap per frame)
+                img, img_r = rect.remap(img, img_r)
+            slam.track_stereo(img, img_r, frame.ts, imu_samples=samples)
         elif args.sensor == "rgbd" and frame.depth is not None:
             slam.track_rgbd(img, jnp.asarray(frame.depth), frame.ts)
         elif args.sensor == "mono-imu":

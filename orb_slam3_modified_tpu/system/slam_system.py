@@ -58,6 +58,10 @@ class SystemConfig:
     # non-rectified stereo (fisheye): right camera + left->right extrinsics
     cam_right: Camera = None
     T_rl: object = None  # (4, 4) p_right = R @ p_left + t
+    # pinhole radial-tangential distortion (k1,k2,p1,p2[,k3]); keypoint
+    # coordinates are undistorted after extraction, descriptors stay on the
+    # raw image (reference: Frame::UndistortKeyPoints, src/Frame.cc:746)
+    dist: object = None
 
 
 class SlamSystem:
@@ -110,8 +114,26 @@ class SlamSystem:
         if self.closer is not None:
             self.tracker.relocalize_fn = self._relocalize
         self.ecfg = cfg.extractor or ExtractorConfig(n_features=cfg.feat_cap)
+        self._undistort_kp = None
+        if cfg.dist is not None and np.any(np.asarray(cfg.dist) != 0):
+            # keypoint-coordinate undistortion (reference:
+            # Frame::UndistortKeyPoints src/Frame.cc:746) — device-side,
+            # applied to extracted uv before tracking; descriptors are
+            # computed on the raw (distorted) image, as in the reference
+            from ..cameras.rectify import make_keypoint_undistorter
+
+            c = np.asarray(cfg.cam.params)
+            K = np.array(
+                [[c[0], 0, c[2]], [0, c[1], c[3]], [0, 0, 1]], np.float64
+            )
+            self._undistort_kp = make_keypoint_undistorter(K, cfg.dist)
         self.poses = []  # (ts, T_cw 4x4 or None)
         self._localization_only = False
+
+    def _post_extract(self, feats: Features) -> Features:
+        if self._undistort_kp is None:
+            return feats
+        return feats._replace(uv=self._undistort_kp(feats.uv))
 
     # ------------------------------------------------------ mode / reset API
     def activate_localization_mode(self):
@@ -198,7 +220,7 @@ class SlamSystem:
 
         Reference: System::TrackMonocular (src/System.cc:426)."""
         with self.timing.measure("extract"):
-            feats = extract(image, self.ecfg)
+            feats = self._post_extract(extract(image, self.ecfg))
         return self.track_features(feats, ts)
 
     def track_monocular_inertial(self, image, ts: float, imu_samples):
@@ -206,7 +228,7 @@ class SlamSystem:
 
         Reference: System::TrackMonocular with vImuMeas (src/System.cc:426)."""
         with self.timing.measure("extract"):
-            feats = extract(image, self.ecfg)
+            feats = self._post_extract(extract(image, self.ecfg))
         with self.timing.measure("track"):
             T = self.tracker.track(feats, ts, imu_samples=imu_samples)
         self._handle_loss()
@@ -269,7 +291,9 @@ class SlamSystem:
         from ..ops.stereo_match import depth_from_depthmap
 
         with self.timing.measure("extract"):
-            feats = extract(jnp.asarray(image, jnp.float32), self.ecfg)
+            feats = self._post_extract(
+                extract(jnp.asarray(image, jnp.float32), self.ecfg)
+            )
         d = np.asarray(
             depth_from_depthmap(
                 feats.uv, jnp.asarray(depth_map), self.cfg.depth_scale

@@ -16,8 +16,22 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The TPU-plugin sitecustomize force-selects its platform via jax.config,
 # overriding the env var — override it back. Tests always run on CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled XLA:CPU executables between modules.
+
+    The suite compiles hundreds of distinct programs; without this the
+    accumulated executables eventually segfault the CPU client late in the
+    run (observed at ~157 tests). Modules rarely share compiled shapes, so
+    clearing per-module costs little.
+    """
+    yield
+    jax.clear_caches()
