@@ -121,6 +121,11 @@ def main():
         f"kfs={slam.map.n_keyframes()} mps={slam.map.n_points()}",
         file=sys.stderr,
     )
+    # per-stage breakdown (chunked-frontend host wall time; REGISTER_TIMES
+    # parity — the reference dumps ExecTimeMean.txt, src/Tracking.cc:263)
+    print("[bench] per-stage breakdown:", file=sys.stderr)
+    for line in fe.stats.dump().splitlines():
+        print(f"[bench]   {line}", file=sys.stderr)
     print(
         json.dumps(
             {

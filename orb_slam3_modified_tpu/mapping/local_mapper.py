@@ -47,9 +47,12 @@ class LocalMapper:
     def __init__(self, cfg: LocalMapperConfig, tracker_cfg: TrackerConfig, slam_map: MapState):
         import contextlib
 
+        from ..utils.timing import TimeStats
+
         self.cfg = cfg
         self.tcfg = tracker_cfg
         self.map = slam_map
+        self.stats = TimeStats()  # per-phase wall time (REGISTER_TIMES parity)
         self.recent_points: list = []  # (mp_idx array, birth_kf) for culling
         # injected by AsyncLocalMapper: mutation phases lock; long device
         # solves run unlocked so the tracker's keyframe creation never waits
@@ -63,19 +66,29 @@ class LocalMapper:
         m = self.map
         if m.n_keyframes() < 2:
             return
-        with self.lock:
+        with self.stats.measure("mp_cull"), self.lock:
             slots, mps = m.observations_of_kf(k)
             m.update_point_stats(mps, self.tcfg.scale_factors())
             self._cull_recent_points(k)
-        new_pts = self._create_new_points(k)  # snapshot/compute/commit inside
+        with self.stats.measure("triangulate"):
+            new_pts = self._create_new_points(k)  # snapshot/compute/commit inside
         if len(new_pts):
             self.recent_points.append((new_pts, k))
-        self._fuse_neighbors(k)  # snapshot/compute/commit inside
+        with self.stats.measure("fuse"):
+            self._fuse_neighbors(k)  # snapshot/compute/commit inside
         if m.n_keyframes() > 2:
-            self._local_ba(k)  # locks internally around build/write-back
+            # once the IMU is initialized the temporal-window VI BA REPLACES
+            # the visual local BA (reference: LocalMapping::Run picks
+            # LocalInertialBA over LocalBundleAdjustment,
+            # src/LocalMapping.cc:148-155) — running both doubles solver
+            # cost and lets the un-inertial pass fight the VI one
             if self.imu is not None and self.imu.initialized:
-                self._vi_refine(k)
-        with self.lock:
+                with self.stats.measure("vi_refine"):
+                    self._vi_refine(k)
+            else:
+                with self.stats.measure("local_ba"):
+                    self._local_ba(k)  # locks internally around build/write-back
+        with self.stats.measure("kf_cull"), self.lock:
             self._cull_keyframes(k)
 
     def _vi_refine(self, k: int, window_size: int = 10):
@@ -104,8 +117,13 @@ class LocalMapper:
                 m, self.tcfg, kfs, pres, fixed, 0.0, 0.0, imu.cfg
             )
         res = vi_bundle_adjust(prob, self.tcfg.cam, 2, 6)
+        res = jax.tree_util.tree_map(np.asarray, res)  # sync OUTSIDE the lock
         with self.lock:
             write_back_vi(m, res, kfs_np, mp_sel)
+            # drop visual outliers like the visual LBA does (reference:
+            # LocalInertialBA erases chi2-failing observations after the
+            # solve, src/Optimizer.cc:2680 region)
+            self._drop_ba_outliers(m, prob, res, kfs_np, mp_sel)
         imu.v_w = np.asarray(res.v_w)[K - 1].astype(np.float32)
         imu.bias = ImuBias(
             jnp.asarray(np.asarray(res.bg)[K - 1]),
@@ -366,40 +384,45 @@ class LocalMapper:
         """Reference: Optimizer::LocalBundleAdjustment (src/Optimizer.cc:1116):
         covisible window optimized, frontier fixed, their points free."""
         m = self.map
-        window = [k] + [int(x) for x in m.best_covisible(k, self.cfg.ba_window, min_weight=10)]
-        window = list(dict.fromkeys(window))
-        obs = m.kf_obs[window]
-        mp_sel = np.unique(obs[obs != NO_POINT])
-        mp_sel = mp_sel[m.mp_valid[mp_sel]]
-        if len(mp_sel) < 20:
-            return
-        # frontier: kfs observing these points but not in window
-        observers = np.flatnonzero(m.point_observers(mp_sel))
-        frontier = [int(x) for x in observers if int(x) not in window]
-        # bound the problem to the static BA pad shape (_pad_problem): keep
-        # the strongest-covis frontier keyframes. The reference includes every
-        # observer as a fixed vertex (src/Optimizer.cc:1183 region); capping
-        # only drops distant anchors, never optimized keyframes.
-        max_frontier = _BA_PAD_K - len(window)
-        if len(frontier) > max_frontier > 0:
-            w = m.covisibility_weights(k)[frontier]
-            order = np.argsort(-w)
-            frontier = [frontier[i] for i in order[:max_frontier]]
-        kf_sel = np.array(window + frontier)
-        fixed = np.zeros(len(kf_sel), bool)
-        fixed[len(window):] = True
-        if len(frontier) == 0:
-            fixed[0] = True  # gauge anchor
-        # always fix the oldest keyframe in the problem (reference fixes kf 0
-        # implicitly via frontier; a 2-kf map needs an explicit anchor)
-        oldest = int(np.argmin(m.kf_frame_id[kf_sel]))
-        fixed[oldest] = True
-        with self.lock:
+        with self.stats.measure("ba_select"):
+            window = [k] + [
+                int(x) for x in m.best_covisible(k, self.cfg.ba_window, min_weight=10)
+            ]
+            window = list(dict.fromkeys(window))
+            obs = m.kf_obs[window]
+            mp_sel = np.unique(obs[obs != NO_POINT])
+            mp_sel = mp_sel[m.mp_valid[mp_sel]]
+            if len(mp_sel) < 20:
+                return
+            # frontier: kfs observing these points but not in window
+            observers = np.flatnonzero(m.point_observers(mp_sel))
+            frontier = [int(x) for x in observers if int(x) not in window]
+            # bound the problem to the static BA pad shape (_pad_problem): keep
+            # the strongest-covis frontier keyframes. The reference includes every
+            # observer as a fixed vertex (src/Optimizer.cc:1183 region); capping
+            # only drops distant anchors, never optimized keyframes.
+            max_frontier = _BA_PAD_K - len(window)
+            if len(frontier) > max_frontier > 0:
+                w = m.covisibility_weights(k)[frontier]
+                order = np.argsort(-w)
+                frontier = [frontier[i] for i in order[:max_frontier]]
+            kf_sel = np.array(window + frontier)
+            fixed = np.zeros(len(kf_sel), bool)
+            fixed[len(window):] = True
+            if len(frontier) == 0:
+                fixed[0] = True  # gauge anchor
+            # always fix the oldest keyframe in the problem (reference fixes kf 0
+            # implicitly via frontier; a 2-kf map needs an explicit anchor)
+            oldest = int(np.argmin(m.kf_frame_id[kf_sel]))
+            fixed[oldest] = True
+        with self.stats.measure("ba_build"), self.lock:
             prob = _build_ba_problem(m, self.tcfg, kf_sel, mp_sel, fixed)
-        prob = _pad_problem(prob)
-        res = bundle_adjust(prob, self.tcfg.cam, 2, 5)
-        res = jax.tree_util.tree_map(np.asarray, res)  # sync OUTSIDE the lock
-        with self.lock:
+        with self.stats.measure("ba_pad"):
+            prob = _pad_problem(prob)
+        with self.stats.measure("ba_solve"):
+            res = bundle_adjust(prob, self.tcfg.cam, 2, 5)
+            res = jax.tree_util.tree_map(np.asarray, res)  # sync OUTSIDE the lock
+        with self.stats.measure("ba_write"), self.lock:
             _write_back_ba(m, prob, res, kf_sel, mp_sel)
             self._drop_ba_outliers(m, prob, res, kf_sel, mp_sel)
 

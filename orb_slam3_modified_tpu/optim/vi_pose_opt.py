@@ -53,6 +53,27 @@ class VIMargResult(NamedTuple):
     p_wb: jnp.ndarray  # (3,) current body position (anchor)
 
 
+def _body_from_cam(R_cw, t_cw, R_bc, t_bc):
+    """(R_wb, p_wb) of the body given the camera pose T_cw and the
+    camera-to-body extrinsics x_b = R_bc x_c + t_bc (reference: ImuCamPose
+    keeps Rcb/tcb and maps every inertial vertex through it,
+    include/G2oTypes.h:60-128)."""
+    R_bw = R_bc @ R_cw
+    t_bw = R_bc @ t_cw + t_bc
+    R_wb = jnp.swapaxes(R_bw, -1, -2)
+    p_wb = -jnp.einsum("...ij,...j->...i", R_wb, t_bw)
+    return R_wb, p_wb
+
+
+def _cam_from_body(R_wb, p_wb, R_bc, t_bc):
+    """Inverse of _body_from_cam: camera pose (R_cw, t_cw) from body state."""
+    R_bw = jnp.swapaxes(R_wb, -1, -2)
+    t_bw = -jnp.einsum("...ij,...j->...i", R_bw, p_wb)
+    R_cw = R_bc.T @ R_bw
+    t_cw = jnp.einsum("ji,...j->...i", R_bc, t_bw - t_bc)
+    return R_cw, t_cw
+
+
 @partial(jax.jit, static_argnums=(18, 19))
 def vi_pose_optimization(
     T_cw0: SE3,
@@ -73,11 +94,19 @@ def vi_pose_optimization(
     v_init=None,
     inertial_weight: float = 1.0,
     bias_prior: float = 1e4,
+    R_bc=None,  # camera-to-body extrinsics; None = identity rig
+    t_bc=None,
 ):
-    """Identity camera-body extrinsics variant (R_bc=I): body pose == camera
-    pose; callers with real extrinsics fold Tbc into the prev state."""
+    """General-extrinsics VI pose solve: the optimized pose stays the camera
+    pose T_cw, the inertial residual is evaluated on the body state mapped
+    through T_bc (reference threads Tcb through every inertial vertex,
+    include/G2oTypes.h:60-128, src/Optimizer.cc:4491)."""
     if v_init is None:
         v_init = v_prev
+    if R_bc is None:
+        R_bc = jnp.eye(3)
+    if t_bc is None:
+        t_bc = jnp.zeros(3)
 
     def unpack(x):
         T = se3.exp(x[:6]) @ T_cw0
@@ -96,9 +125,8 @@ def vi_pose_optimization(
         w_rob = jnp.where(use_huber, jnp.sqrt(huber_weight(chi2, DELTA_MONO)), 1.0)
         w = valid.astype(r.dtype) * (pc[..., 2] > 0.05)
         r_vis = (r * (w * w_rob)[:, None]).reshape(-1)
-        # inertial block (body == camera, R_wb = R_cw^T, p = camera center)
-        R_wb = jnp.swapaxes(T.R, -1, -2)
-        p_wb = -jnp.einsum("ij,j->i", R_wb, T.t)
+        # inertial block on the body state behind the extrinsics
+        R_wb, p_wb = _body_from_cam(T.R, T.t, R_bc, t_bc)
         dR_c = dR @ so3.exp(JRg @ dbg)
         dV_c = dV + JVg @ dbg + JVa @ dba
         dP_c = dP + JPg @ dbg + JPa @ dba
@@ -160,6 +188,8 @@ def vi_pose_optimization_marg(
     dT, dR, dV, dP, JRg, JVg, JVa, JPg, JPa,
     C=None,  # (15, 15) preintegration covariance for whitening
     iters: int = 8,
+    R_bc=None,  # camera-to-body extrinsics; None = identity rig
+    t_bc=None,
 ):
     """Joint {previous, current} 30-D visual-inertial frame solve.
 
@@ -171,15 +201,21 @@ def vi_pose_optimization_marg(
     to produce the prior for the next frame (reference: Marginalize
     src/Optimizer.cc:2960).
 
-    Identity camera-body extrinsics (R_bc=I): body pose == camera pose.
+    Both states are BODY states; the visual block maps the current body
+    state back to the camera through the T_bc extrinsics (reference:
+    ImuCamPose, include/G2oTypes.h:60-128). R_prev/p_prev must therefore be
+    body-frame (callers convert via the same extrinsics).
     State layout x = [prev: phi(3), dp(3), dv(3), dbg(3), dba(3) |
                       cur:  phi(3), dp(3), dv(3), dbg(3), dba(3)],
     with R = R0 exp(phi), p = p0 + dp (world frame), anchored at the
     previous solution / IMU prediction.
     """
-    # current-state anchor from the camera pose seed
-    R_cur0 = jnp.swapaxes(T_cw0.R, -1, -2)  # R_wb
-    p_cur0 = -jnp.einsum("ij,j->i", R_cur0, T_cw0.t)
+    if R_bc is None:
+        R_bc = jnp.eye(3)
+    if t_bc is None:
+        t_bc = jnp.zeros(3)
+    # current-state anchor (body) from the camera pose seed
+    R_cur0, p_cur0 = _body_from_cam(T_cw0.R, T_cw0.t, R_bc, t_bc)
     v_cur0 = v_prev + GRAVITY_VEC * dT + jnp.einsum("ij,j->i", R_prev, dV)
 
     # whitening factors
@@ -214,9 +250,8 @@ def vi_pose_optimization_marg(
 
     def residuals(x):
         (Rp, pp, vp, dbg_p, dba_p), (Rc, pc_b, vc, dbg_c, dba_c) = unpack(x)
-        # visual block on the current camera pose
-        R_cw = Rc.T
-        t_cw = -Rc.T @ pc_b
+        # visual block on the current camera pose (body -> camera via T_bc)
+        R_cw, t_cw = _cam_from_body(Rc, pc_b, R_bc, t_bc)
         pcam = pts_w @ R_cw.T + t_cw
         uv = project(cam, pcam)
         r = (uv - uv_obs) * jnp.sqrt(jnp.maximum(inv_s2, 1e-9))[:, None]
@@ -258,8 +293,7 @@ def vi_pose_optimization_marg(
     )
     (_, _, _, _, _), (Rc, pc_b, vc, dbg_c, dba_c) = unpack(x)
     Rc = so3.normalize(Rc)
-    R_cw = Rc.T
-    t_cw = -Rc.T @ pc_b
+    R_cw, t_cw = _cam_from_body(Rc, pc_b, R_bc, t_bc)
     T = SE3(R_cw, t_cw)
     pcam = pts_w @ R_cw.T + t_cw
     uv = project(cam, pcam)

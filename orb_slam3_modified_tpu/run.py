@@ -86,6 +86,24 @@ def main(argv=None):
             if args.vocab.endswith(".txt")
             else load_vocabulary_npz(args.vocab)
         )
+    imu_cfg = None
+    if "imu" in args.sensor and args.config and st.imu is not None:
+        # feed the parsed calibration (noise densities, walk, rate, T_b_c1)
+        # into the frontend — the reference does this in ParseIMUParamFile
+        # (src/Tracking.cc:1303): every preintegration and inertial optimizer
+        # must see the real rig, not defaults
+        from .tracking.imu_frontend import ImuConfig
+
+        T_bc = np.asarray(st.imu.T_bc, np.float64)
+        imu_cfg = ImuConfig(
+            noise_gyro=st.imu.noise_gyro,
+            noise_acc=st.imu.noise_acc,
+            walk_gyro=st.imu.walk_gyro,
+            walk_acc=st.imu.walk_acc,
+            freq=st.imu.freq,
+            R_bc=T_bc[:3, :3].astype(np.float32),
+            t_bc=T_bc[:3, 3].astype(np.float32),
+        )
     sys_cfg = SystemConfig(
         cam=cam, sensor=sensor, extractor=ecfg,
         feat_cap=ecfg.n_features,
@@ -93,6 +111,7 @@ def main(argv=None):
         use_loop_closing=not args.no_loop,
         bf=bf if "stereo" in args.sensor or args.sensor == "rgbd" else 0.0,
         dist=dist,
+        imu=imu_cfg,
     )
     slam = SlamSystem(sys_cfg)
     if args.atlas_in:

@@ -32,6 +32,7 @@ import numpy as np
 from ..features.extractor import ExtractorConfig, Features, extract, extract_batch
 from ..lie.se3 import SE3
 from ..slam_map.map_state import NO_POINT
+from ..utils.timing import TimeStats
 from .fused import CACHE_CAP, DeviceTrackState, MapCache, make_step_body
 
 
@@ -108,6 +109,9 @@ class ChunkedTracker:
         self._low_streak = 0
         self.hard_floor = 12
         self.low_streak_limit = 3
+        # per-stage wall-time breakdown (REGISTER_TIMES parity for the
+        # chunked frontend); bench.py dumps the summary to stderr
+        self.stats = TimeStats()
 
     # ------------------------------------------------------------- cache
     def refresh_cache(self):
@@ -195,6 +199,10 @@ class ChunkedTracker:
     # ------------------------------------------------------------ internal
     def _track_slow(self, img, ts):
         """Per-frame slow path (init / reloc / recovery)."""
+        with self.stats.measure("slow_path"):
+            return self._track_slow_impl(img, ts)
+
+    def _track_slow_impl(self, img, ts):
         t = self.tracker
         with self.map_lock:
             feats = extract(jnp.asarray(img, jnp.float32), self.ecfg)
@@ -212,7 +220,8 @@ class ChunkedTracker:
         # triangulates new points between keyframes, and stale caches are
         # how the device pipeline starves of inliers. Cost: one host covis
         # query + ~200 KB h2d per chunk.
-        self.refresh_cache()
+        with self.stats.measure("cache_refresh"):
+            self.refresh_cache()
         if self.cache is None or self.state is None:
             self.refresh_cache()
             self._sync_state_from_tracker()
@@ -231,7 +240,10 @@ class ChunkedTracker:
         while len(imgs) < self.chunk:  # tail padding; padded outputs ignored
             imgs.append(imgs[-1])
         batch = np.stack(imgs)
-        self.state, outs, feats = self._step(self.state, self.cache, jnp.asarray(batch))
+        with self.stats.measure("dispatch"):
+            self.state, outs, feats = self._step(
+                self.state, self.cache, jnp.asarray(batch)
+            )
         # start moving the tiny outputs AND the chunk's features home;
         # consumed a chunk later. Prefetching every frame's features (~1 MB
         # per 16-frame chunk) costs ~20 ms of h2d-overlapped bandwidth and
@@ -275,13 +287,14 @@ class ChunkedTracker:
         t = self.tracker
         m = t.map
         cfg = self.cfg
-        R_all = np.asarray(p.outs.R)
-        t_all = np.asarray(p.outs.t)
-        n_inl_all = np.asarray(p.outs.n_inliers)
-        obs_cache_all = np.asarray(p.outs.obs_cache_idx)
-        # materialize the whole chunk's features once (async-copied at
-        # dispatch time): per-frame records below are cheap numpy views
-        p.feats = Features(*[np.asarray(leaf) for leaf in p.feats])
+        with self.stats.measure("retire_sync"):
+            R_all = np.asarray(p.outs.R)
+            t_all = np.asarray(p.outs.t)
+            n_inl_all = np.asarray(p.outs.n_inliers)
+            obs_cache_all = np.asarray(p.outs.obs_cache_idx)
+            # materialize the whole chunk's features once (async-copied at
+            # dispatch time): per-frame records below are cheap numpy views
+            p.feats = Features(*[np.asarray(leaf) for leaf in p.feats])
         results = []
         for i in range(p.n_valid):
             fid, ts = p.fids[i], p.tss[i]
@@ -333,26 +346,27 @@ class ChunkedTracker:
             else:
                 t.trajectory.append((ts, fid, -1, -1, T_abs, T_abs))
             if t._need_new_keyframe(n_inl):
-                rec = FrameRecord(
-                    self._fetch_features(p.feats, i), T, obs_mp, ts, fid
-                )
-                t.last = rec
-                T_pre = np.eye(4)
-                T_pre[:3, :3] = R
-                T_pre[:3, 3] = tt
-                with self.map_lock:
-                    t._create_keyframe(rec)
-                # local BA may have moved the new keyframe: propagate the
-                # correction W into the device-resident state (else the
-                # pipeline drifts away from the optimized map)
-                k_new = t.ref_kf
-                T_post = np.eye(4)
-                T_post[:3, :3] = m.kf_R[k_new]
-                T_post[:3, 3] = m.kf_t[k_new]
-                W = np.linalg.inv(T_pre) @ T_post
-                if np.abs(W - np.eye(4)).max() > 1e-9 and self.state is not None:
-                    self._apply_world_correction(W)
-                self.refresh_cache()
+                with self.stats.measure("keyframe"):
+                    rec = FrameRecord(
+                        self._fetch_features(p.feats, i), T, obs_mp, ts, fid
+                    )
+                    t.last = rec
+                    T_pre = np.eye(4)
+                    T_pre[:3, :3] = R
+                    T_pre[:3, 3] = tt
+                    with self.map_lock:
+                        t._create_keyframe(rec)
+                    # local BA may have moved the new keyframe: propagate the
+                    # correction W into the device-resident state (else the
+                    # pipeline drifts away from the optimized map)
+                    k_new = t.ref_kf
+                    T_post = np.eye(4)
+                    T_post[:3, :3] = m.kf_R[k_new]
+                    T_post[:3, 3] = m.kf_t[k_new]
+                    W = np.linalg.inv(T_pre) @ T_post
+                    if np.abs(W - np.eye(4)).max() > 1e-9 and self.state is not None:
+                        self._apply_world_correction(W)
+                    self.refresh_cache()
             results.append((fid, ts, T_abs))
         return results
 

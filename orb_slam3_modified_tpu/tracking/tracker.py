@@ -459,6 +459,29 @@ class Tracker:
                 self.state = RECENTLY_LOST
             elif self.lost_frames > self.cfg.recently_lost_budget:
                 self.state = LOST
+            # IMU dead-reckoning bridges short visual blackouts: keep
+            # publishing the predicted pose while RECENTLY_LOST so the
+            # trajectory has no hole (reference: Track() RECENTLY_LOST
+            # branch holds the pose via PredictStateIMU until
+            # time_recently_lost expires, src/Tracking.cc:1990-2016).
+            if (
+                self.imu is not None
+                and self.imu.initialized
+                and self.state == RECENTLY_LOST
+                and self.imu.preint_frame is not None
+            ):
+                rec = FrameRecord(feats, T_pred, obs_mp, ts, fid,
+                                  depth=self._cur_depth, ur=self._cur_ur)
+                if self.last is not None:
+                    # any marginal from a failed pose attempt is anchored at
+                    # a rejected state — don't carry it forward
+                    self.imu._marg_pending = None
+                    self.imu.commit_frame_velocity(
+                        self.last.T_cw, T_pred, ts - self.last.ts
+                    )
+                self.last = rec
+                self.frames_since_kf += 1
+                return T_pred
             return None
 
         # --- TrackLocalMap
@@ -542,14 +565,21 @@ class Tracker:
             and imu.initialized
             and imu.preint_frame is not None
             and self.last is not None
-            and np.allclose(imu.cfg.R_bc, np.eye(3))
         ):
             from ..optim.vi_pose_opt import vi_pose_optimization_marg
 
             pre = imu.preint_frame
+            # previous BODY state through the rig extrinsics T_bc (reference:
+            # ImuCamPose include/G2oTypes.h:60-128 — the inertial vertices are
+            # body-frame on any rig, not only body==camera)
+            R_bc = np.asarray(imu.cfg.R_bc, np.float32)
+            t_bc = np.asarray(imu.cfg.t_bc, np.float32)
             R_cw_prev = np.asarray(self.last.T_cw.R)
-            R_prev = R_cw_prev.T  # R_wb of previous frame (body == camera)
-            p_prev = -R_cw_prev.T @ np.asarray(self.last.T_cw.t)
+            t_cw_prev = np.asarray(self.last.T_cw.t)
+            R_bw_prev = R_bc @ R_cw_prev
+            t_bw_prev = R_bc @ t_cw_prev + t_bc
+            R_prev = R_bw_prev.T  # R_wb of previous frame
+            p_prev = -R_bw_prev.T @ t_bw_prev
             if imu.marg_prior is not None:
                 H_prior = imu.marg_prior
             else:
@@ -571,6 +601,8 @@ class Tracker:
                 pre.dT, pre.dR, pre.dV, pre.dP,
                 pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa,
                 C=pre.C,
+                R_bc=jnp.asarray(R_bc),
+                t_bc=jnp.asarray(t_bc),
             )
             imu._pred_v = np.asarray(res.v_w)
             imu._marg_pending = np.asarray(res.H_marg)

@@ -108,6 +108,11 @@ def write_euroc_sequence(
     with_imu: bool = False,
     imu_rate: float = 200.0,
     closed_loop: bool = False,
+    T_bc: np.ndarray = None,  # (4,4) camera->body extrinsics; None = identity
+    gyro_noise_std: float = 0.0,  # rad/s per-sample white noise
+    acc_noise_std: float = 0.0,  # m/s^2 per-sample white noise
+    gyro_bias=(0.0, 0.0, 0.0),  # constant true bias (rad/s)
+    acc_bias=(0.0, 0.0, 0.0),  # constant true bias (m/s^2)
 ):
     """Render an orbit over a textured plane into EuRoC layout.
 
@@ -119,8 +124,12 @@ def write_euroc_sequence(
       revisits its start view — a loop-closure target.
     - ``stereo_baseline > 0`` renders cam1 displaced by +baseline along the
       left camera's x axis (rectified-stereo geometry).
-    - ``with_imu`` writes an ideal body-frame IMU stream (body == cam0 frame,
-      gravity = -z world, 9.81) consistent with the rendered trajectory.
+    - ``with_imu`` writes a body-frame IMU stream (gravity = -z world, 9.81)
+      consistent with the rendered trajectory. ``T_bc`` places the IMU on a
+      real rig (x_b = R_bc x_c + t_bc, the reference's IMU.T_b_c1
+      convention, src/Tracking.cc:1303); lever-arm accelerations are
+      included via finite differences of the body position. Optional white
+      noise and a constant true bias emulate a consumer IMU.
 
     Returns the list of ground-truth T_cw (4, 4) for cam0.
     """
@@ -175,24 +184,44 @@ def write_euroc_sequence(
         imu_dir = os.path.join(out_dir, "mav0", "imu0")
         os.makedirs(imu_dir, exist_ok=True)
         g_w = np.array([0.0, 0.0, -9.81])
-        dt_rot = 1e-4  # finite-difference step for the analytic rotation rate
+        R_bc = np.eye(3) if T_bc is None else np.asarray(T_bc, np.float64)[:3, :3]
+        t_bc = np.zeros(3) if T_bc is None else np.asarray(T_bc, np.float64)[:3, 3]
+        t_cb = -R_bc.T @ t_bc  # body origin expressed in the camera frame
+        b_g = np.asarray(gyro_bias, np.float64)
+        b_a = np.asarray(acc_bias, np.float64)
+        noise_rng = np.random.default_rng(seed + 7919)
+        dt_fd = 1e-4  # finite-difference step (rotation rate + lever arm)
+
+        def body_pos(tau):
+            R_cw, p_c, _, _ = orbit_state(tau, period, radius, sweep, height, ring)
+            return p_c + R_cw.T @ t_cb, R_cw
+
         rows = ["#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z"]
         n_samples = int((n_frames - 1) / fps * imu_rate) + 1
         for j in range(n_samples):
             tau = j / imu_rate
-            R_cw, _, _, a_w = orbit_state(tau, period, radius, sweep, height, ring)
-            R_cw2, _, _, _ = orbit_state(tau + dt_rot, period, radius, sweep, height, ring)
-            # body == cam: R_wb = R_cw^T; omega_b = vee(R_wb^T dR_wb/dt)
-            dR = R_cw @ R_cw2.T  # R_wb(t)^T R_wb(t+dt)
-            w_b = (
-                np.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0], dR[1, 0] - dR[0, 1]])
-                / (2.0 * dt_rot)
+            p_b, R_cw = body_pos(tau)
+            p_bp, _ = body_pos(tau + dt_fd)
+            p_bm, _ = body_pos(tau - dt_fd)
+            a_b_w = (p_bp - 2 * p_b + p_bm) / (dt_fd * dt_fd)
+            R_cw2, _, _, _ = orbit_state(
+                tau + dt_fd, period, radius, sweep, height, ring
             )
-            f_b = R_cw @ (a_w - g_w)  # specific force in body frame
+            # omega in the camera frame, rotated into the body frame
+            dR = R_cw @ R_cw2.T  # R_wc(t)^T-chain: R_wb^T dR_wb for body==cam
+            w_c = (
+                np.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0], dR[1, 0] - dR[0, 1]])
+                / (2.0 * dt_fd)
+            )
+            w_b = R_bc @ w_c
+            R_bw = R_bc @ R_cw
+            f_b = R_bw @ (a_b_w - g_w)  # specific force in body frame
+            w_meas = w_b + b_g + noise_rng.normal(0.0, gyro_noise_std, 3)
+            a_meas = f_b + b_a + noise_rng.normal(0.0, acc_noise_std, 3)
             t_ns = int(round(tau * 1e9))
             rows.append(
-                f"{t_ns},{w_b[0]:.9f},{w_b[1]:.9f},{w_b[2]:.9f},"
-                f"{f_b[0]:.9f},{f_b[1]:.9f},{f_b[2]:.9f}"
+                f"{t_ns},{w_meas[0]:.9f},{w_meas[1]:.9f},{w_meas[2]:.9f},"
+                f"{a_meas[0]:.9f},{a_meas[1]:.9f},{a_meas[2]:.9f}"
             )
         with open(os.path.join(imu_dir, "data.csv"), "w") as f:
             f.write("\n".join(rows) + "\n")
