@@ -16,6 +16,8 @@ Thresholds follow the reference: TH_LOW=50, TH_HIGH=100, HISTO_LENGTH=30
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +26,11 @@ from ..ops.hamming import MAX_DIST, hamming_matrix
 TH_LOW = 50
 TH_HIGH = 100
 HISTO_BINS = 30
+
+# The public matchers are jitted at the boundary: host-side callers (slow
+# path, mapper) issue ONE dispatch per search instead of one per jnp op —
+# on a tunneled TPU each eager op from a busy host thread costs a round
+# trip. Jit-in-jit callers (the fused step) inline these transparently.
 
 
 def rotation_consistency_mask(angle1, angle2, matched_idx, match_valid):
@@ -55,6 +62,7 @@ def rotation_consistency_mask(angle1, angle2, matched_idx, match_valid):
     return match_valid & keep_bin[bins]
 
 
+@functools.partial(jax.jit, static_argnames=("max_dist", "ratio"))
 def mutual_best_match(
     desc1,
     valid1,
@@ -87,6 +95,7 @@ def mutual_best_match(
     return idx, ok, best
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
 def search_for_initialization(
     uv1, angle1, desc1, valid1, uv2, angle2, desc2, valid2, window: float = 100.0
 ):
@@ -103,6 +112,9 @@ def search_for_initialization(
     return idx, ok, dist
 
 
+@functools.partial(
+    jax.jit, static_argnames=("level_tol", "max_dist", "ratio")
+)
 def search_by_projection(
     uv_pred,
     level_pred,
@@ -144,6 +156,7 @@ def search_by_projection(
     return idx, ok, dist
 
 
+@functools.partial(jax.jit, static_argnames=("n_targets",))
 def resolve_duplicate_targets(idx, ok, dist, n_targets: int):
     """Ensure each target feature is claimed by at most one source (the best).
 

@@ -291,14 +291,20 @@ class LoopCloser:
             rel_t.append(np.asarray(S_ji.t))
             wts.append(w)
 
+        class _NpSim3:
+            """Relative SE3 measurement in plain numpy — building one Sim3
+            per edge with device ops cost a tunnel round trip PER EDGE."""
+
+            __slots__ = ("s", "R", "t")
+
+            def __init__(self, s, R, t):
+                self.s, self.R, self.t = s, R, t
+
         def rel_from_poses(i, j):
-            Si = Sim3(
-                jnp.asarray(1.0), jnp.asarray(m.kf_R[i]), jnp.asarray(m.kf_t[i])
-            )
-            Sj = Sim3(
-                jnp.asarray(1.0), jnp.asarray(m.kf_R[j]), jnp.asarray(m.kf_t[j])
-            )
-            return Sj @ Si.inverse()
+            # S_ji = T_j T_i^-1 at unit scale
+            R = m.kf_R[j] @ m.kf_R[i].T
+            t = m.kf_t[j] - R @ m.kf_t[i]
+            return _NpSim3(np.float32(1.0), R.astype(np.float32), t.astype(np.float32))
 
         # temporal odometry edges
         order = kfs[np.argsort(m.kf_frame_id[kfs])]
@@ -310,6 +316,14 @@ class LoopCloser:
             for other in np.flatnonzero(w >= self.cfg.covis_weight_strong):
                 if int(other) > int(kf):
                     add_edge(int(kf), int(other), rel_from_poses(int(kf), int(other)))
+        # historical loop/merge edges: every earlier closure stays a
+        # constraint in every later graph (reference: KeyFrame::AddLoopEdge
+        # consumed by OptimizeEssentialGraph, src/Optimizer.cc:1570 region);
+        # their measurement is the current — already consistent — relative
+        # pose, exactly like covisibility edges
+        for a, b in m.valid_loop_edges():
+            if a in kf_pos and b in kf_pos and a != b:
+                add_edge(int(a), int(b), rel_from_poses(int(a), int(b)), w=3.0)
         # loop edge: S_ck maps current-camera coords into candidate-camera
         # coords, so Scw(c) measured = S_ck * Scw(k)  =>  S_ji with i=k, j=c
         add_edge(int(k), int(c), S_ck, w=3.0)
@@ -335,6 +349,9 @@ class LoopCloser:
         # src/Optimizer.cc:5292, selected at src/LoopClosing.cc:1193 region)
         four_dof = bool(m.imu_initialized and m.n_inertial_ba >= 2)
         S_opt = optimize_pose_graph(prob, four_dof, 25)
+        # persist this closure's edge for every future essential graph
+        # (reference: mpCurrentKF->AddLoopEdge(mpLoopMatchedKF) in CorrectLoop)
+        m.add_loop_edge(int(k), int(c))
 
         # write back poses (Sim3 -> SE3 with scale folded into translation)
         se3_new = S_opt.to_se3()
@@ -397,6 +414,9 @@ class LoopCloser:
             np.asarray(S_dst_src.R),
             np.asarray(S_dst_src.t),
         )
+        # persist the weld as a merge edge for future essential graphs
+        # (reference: AddMergeEdge in MergeLocal, src/LoopClosing.cc:1710)
+        m.add_loop_edge(int(k), int(c))
         # weld-region refinement: local BA around the junction
         try:
             from ..mapping.local_mapper import _pad_problem

@@ -31,6 +31,10 @@ _BA_PAD_K = 32
 _BA_PAD_P = 8192
 _BA_PAD_O = 16384
 
+# One dispatch for the whole batched DLT (eager jnp from a mapper thread
+# costs a tunnel round trip PER OP while the device streams tracking work)
+_triangulate_jit = jax.jit(triangulate_dlt)
+
 
 @dataclasses.dataclass
 class LocalMapperConfig:
@@ -185,11 +189,12 @@ class LocalMapper:
         if not use:
             return np.empty(0, np.int64)
 
-        # ---- compute phase (NO lock): device matching + readback
+        # ---- compute phase (NO lock): device matching + readback. Numpy
+        # args go straight into the jit (its input transfer is one batch; an
+        # explicit jnp.asarray per array from this thread pays a tunnel RTT
+        # each while the device is busy with the tracking stream).
         idx_all, keep_all = _batched_neighbor_match(
-            jnp.asarray(desc_k_snap), jnp.asarray(free_k), jnp.asarray(r_k),
-            jnp.asarray(desc_n), jnp.asarray(valid_n), jnp.asarray(r_n),
-            jnp.asarray(E_n), jnp.asarray(th_n),
+            desc_k_snap, free_k, r_k, desc_n, valid_n, r_n, E_n, th_n,
         )
         idx_all = np.asarray(idx_all)
         keep_all = np.array(keep_all)
@@ -234,11 +239,11 @@ class LocalMapper:
         # eigensolve compiles exactly once per session.
         bucket = F
         pts = np.asarray(
-            triangulate_dlt(
-                jnp.asarray(np.broadcast_to(P1, (bucket, 3, 4))),
-                jnp.asarray(_pad1(P2_a, bucket)),
-                jnp.asarray(_pad1(x1_a, bucket)),
-                jnp.asarray(_pad1(x2_a, bucket)),
+            _triangulate_jit(
+                np.ascontiguousarray(np.broadcast_to(P1, (bucket, 3, 4))),
+                _pad1(P2_a, bucket),
+                _pad1(x1_a, bucket),
+                _pad1(x2_a, bucket),
             )
         )[:n_pairs]
         # acceptance gates (reference: cheirality, parallax, reproj, scale)
@@ -346,11 +351,9 @@ class LocalMapper:
                 uv_n[j] = m.kf_uv[kn]
                 desc_n[j] = m.kf_desc[kn]
                 valid_n[j] = m.kf_feat_valid[kn]
-        # compute phase (NO lock)
+        # compute phase (NO lock); numpy straight into the jit (see above)
         idx_all, ok_all = _batched_fuse_match(
-            jnp.asarray(desc_p), jnp.asarray(val_p_nb),
-            jnp.asarray(desc_n), jnp.asarray(valid_n),
-            jnp.asarray(uv_pred), jnp.asarray(uv_n),
+            desc_p, val_p_nb, desc_n, valid_n, uv_pred, uv_n,
         )
         idx_all = np.asarray(idx_all)
         ok_all = np.array(ok_all)
@@ -535,14 +538,17 @@ def _hat(v):
 
 
 def _pad_problem(prob):
-    """Pad the BA problem to a session-static shape.
+    """Pad the BA problem to a session-static shape — in PURE NUMPY.
 
     On accelerator backends every new shape is a fresh XLA compile — minutes
     on remote-compile TPU setups — so the local-BA problem is padded straight
     to ONE max shape (_BA_PAD_K/_BA_PAD_P/_BA_PAD_O; the window builder caps
     the keyframe count to fit). The padded FLOPs are noise on a TPU (the
     reduced camera system is 192x192). On CPU (tests) power-of-two buckets
-    keep small problems cheap.
+    keep small problems cheap. Numpy matters: device-side concatenates from
+    a mapper thread each paid a tunnel round trip + a per-shape compile
+    (measured 7 s/keyframe); numpy padding is microseconds and the jitted
+    solver uploads the finished problem in one batch.
     """
     from ..optim.ba import BAProblem
 
@@ -564,27 +570,25 @@ def _pad_problem(prob):
         Kb, Pb, Ob = bucket(K, 16), bucket(P, 4096), bucket(O, 8192)
     if (Kb, Pb, Ob) == (K, P, O):
         return prob
-    pad_k = Kb - K
-    pad_p = Pb - P
-    pad_o = Ob - O
-    eyeR = np.tile(np.eye(3, dtype=np.float32), (pad_k, 1, 1))
+
+    def padn(a, n, fill=0.0):
+        a = np.asarray(a)
+        out = np.full((n, *a.shape[1:]), fill, a.dtype)
+        out[: len(a)] = a
+        return out
+
+    R = padn(prob.T_cw.R, Kb)
+    R[K:] = np.eye(3, dtype=R.dtype)
     return BAProblem(
-        T_cw=SE3(
-            jnp.concatenate([prob.T_cw.R, jnp.asarray(eyeR)], 0),
-            jnp.concatenate([prob.T_cw.t, jnp.zeros((pad_k, 3))], 0),
-        ),
-        cam_fixed=jnp.concatenate([prob.cam_fixed, jnp.ones(pad_k, bool)]),
-        points=jnp.concatenate([prob.points, jnp.zeros((pad_p, 3))], 0),
-        pt_valid=jnp.concatenate([prob.pt_valid, jnp.zeros(pad_p, bool)]),
-        obs_cam=jnp.concatenate([prob.obs_cam, jnp.zeros(pad_o, jnp.int32)]),
-        obs_pt=jnp.concatenate([prob.obs_pt, jnp.zeros(pad_o, jnp.int32)]),
-        obs_uv=jnp.concatenate([prob.obs_uv, jnp.zeros((pad_o, 2))], 0),
-        obs_inv_s2=jnp.concatenate([prob.obs_inv_s2, jnp.ones(pad_o)]),
-        obs_valid=jnp.concatenate([prob.obs_valid, jnp.zeros(pad_o, bool)]),
-        obs_ur=(
-            None
-            if prob.obs_ur is None
-            else jnp.concatenate([prob.obs_ur, jnp.full(pad_o, -1.0)])
-        ),
+        T_cw=SE3(R, padn(prob.T_cw.t, Kb)),
+        cam_fixed=padn(prob.cam_fixed, Kb, True),
+        points=padn(prob.points, Pb),
+        pt_valid=padn(prob.pt_valid, Pb, False),
+        obs_cam=padn(prob.obs_cam, Ob),
+        obs_pt=padn(prob.obs_pt, Ob),
+        obs_uv=padn(prob.obs_uv, Ob),
+        obs_inv_s2=padn(prob.obs_inv_s2, Ob, 1.0),
+        obs_valid=padn(prob.obs_valid, Ob, False),
+        obs_ur=None if prob.obs_ur is None else padn(prob.obs_ur, Ob, -1.0),
         bf=prob.bf,
     )

@@ -485,18 +485,21 @@ def build_vi_problem(
     dT = stack_pre(lambda p: p.dT, ())
     dR = stack_pre(lambda p: p.dR, (3, 3))
     dR[E0:] = np.eye(3, dtype=np.float32)
+    # the problem stays NUMPY end-to-end: the jitted solver batches the
+    # transfers at call time; eager per-array device uploads from the mapper
+    # thread each pay a tunnel round trip while the device is busy
     chain = InertialChain(
-        dT=jnp.asarray(np.maximum(dT, 1e-6)),
-        dR=jnp.asarray(dR),
-        dV=jnp.asarray(stack_pre(lambda p: p.dV, (3,))),
-        dP=jnp.asarray(stack_pre(lambda p: p.dP, (3,))),
-        JRg=jnp.asarray(stack_pre(lambda p: p.JRg, (3, 3))),
-        JVg=jnp.asarray(stack_pre(lambda p: p.JVg, (3, 3))),
-        JVa=jnp.asarray(stack_pre(lambda p: p.JVa, (3, 3))),
-        JPg=jnp.asarray(stack_pre(lambda p: p.JPg, (3, 3))),
-        JPa=jnp.asarray(stack_pre(lambda p: p.JPa, (3, 3))),
-        C_inv=jnp.asarray(_chain_informations(pres, E)),
-        valid=jnp.asarray(np.arange(E) < E0),
+        dT=np.maximum(dT, 1e-6),
+        dR=dR,
+        dV=stack_pre(lambda p: p.dV, (3,)),
+        dP=stack_pre(lambda p: p.dP, (3,)),
+        JRg=stack_pre(lambda p: p.JRg, (3, 3)),
+        JVg=stack_pre(lambda p: p.JVg, (3, 3)),
+        JVa=stack_pre(lambda p: p.JVa, (3, 3)),
+        JPg=stack_pre(lambda p: p.JPg, (3, 3)),
+        JPa=stack_pre(lambda p: p.JPa, (3, 3)),
+        C_inv=_chain_informations(pres, E),
+        valid=np.arange(E) < E0,
     )
     edge_i = np.arange(E, dtype=np.int32)
     edge_j = np.arange(1, E + 1, dtype=np.int32)
@@ -514,30 +517,30 @@ def build_vi_problem(
     rw_a[E0:] = 0.0
 
     prob = VIBAProblem(
-        T_cw=SE3(jnp.asarray(R), jnp.asarray(t)),
-        cam_fixed=jnp.asarray(fixed_k),
-        points=jnp.asarray(pts),
-        pt_valid=jnp.asarray(pt_valid),
-        obs_cam=jnp.asarray(pad(obs_cam, O)),
-        obs_pt=jnp.asarray(pad(obs_pt, O)),
-        obs_uv=jnp.asarray(pad(obs_uv, O)),
-        obs_inv_s2=jnp.asarray(pad(obs_is2, O, 1.0)),
-        obs_valid=jnp.asarray(obs_valid),
-        v_w=jnp.asarray(vel),
-        bg=jnp.asarray(bias[:, :3]),
-        ba=jnp.asarray(bias[:, 3:]),
+        T_cw=SE3(R, t),
+        cam_fixed=fixed_k,
+        points=pts,
+        pt_valid=pt_valid,
+        obs_cam=pad(obs_cam, O),
+        obs_pt=pad(obs_pt, O),
+        obs_uv=pad(obs_uv, O),
+        obs_inv_s2=pad(obs_is2, O, 1.0),
+        obs_valid=obs_valid,
+        v_w=vel,
+        bg=np.ascontiguousarray(bias[:, :3]),
+        ba=np.ascontiguousarray(bias[:, 3:]),
         chain=chain,
-        edge_i=jnp.asarray(edge_i),
-        edge_j=jnp.asarray(edge_j),
-        bg_lin=jnp.asarray(bg_lin),
-        ba_lin=jnp.asarray(ba_lin),
-        rw_info_g=jnp.asarray(rw_g.astype(np.float32)),
-        rw_info_a=jnp.asarray(rw_a.astype(np.float32)),
-        prior_g=jnp.asarray(prior_g, jnp.float32),
-        prior_a=jnp.asarray(prior_a, jnp.float32),
-        R_bc=jnp.asarray(np.asarray(imu_cfg.R_bc, np.float32)),
-        t_bc=jnp.asarray(np.asarray(imu_cfg.t_bc, np.float32)),
-        state_fixed=jnp.asarray(
+        edge_i=edge_i,
+        edge_j=edge_j,
+        bg_lin=bg_lin,
+        ba_lin=ba_lin,
+        rw_info_g=rw_g.astype(np.float32),
+        rw_info_a=rw_a.astype(np.float32),
+        prior_g=np.float32(prior_g),
+        prior_a=np.float32(prior_a),
+        R_bc=np.asarray(imu_cfg.R_bc, np.float32),
+        t_bc=np.asarray(imu_cfg.t_bc, np.float32),
+        state_fixed=(
             fixed_k if state_fixed is None
             else np.concatenate([np.asarray(state_fixed, bool),
                                  np.ones(K - K0, bool)])

@@ -79,6 +79,29 @@ class MapState:
     # src/System.cc:648-663). Keyed by (slot, frame_id) because slots are
     # free-listed and reused. Value: (parent_slot, parent_frame_id, T_cp 4x4).
     culled_redirect: dict = dataclasses.field(default_factory=dict)
+    # persistent loop/merge edges (reference: KeyFrame::AddLoopEdge /
+    # AddMergeEdge — every later essential-graph build re-includes them,
+    # src/Optimizer.cc:1570 region). Entries (kf_i, fid_i, kf_j, fid_j);
+    # frame ids guard against free-listed slot reuse.
+    loop_edges: list = dataclasses.field(default_factory=list)
+
+    def add_loop_edge(self, ki: int, kj: int):
+        self.loop_edges.append(
+            (int(ki), int(self.kf_frame_id[ki]), int(kj), int(self.kf_frame_id[kj]))
+        )
+
+    def valid_loop_edges(self):
+        """Surviving (kf_i, kf_j) pairs (both slots alive and un-reused)."""
+        out = []
+        for ki, fi, kj, fj in self.loop_edges:
+            if (
+                self.kf_valid[ki]
+                and self.kf_valid[kj]
+                and int(self.kf_frame_id[ki]) == fi
+                and int(self.kf_frame_id[kj]) == fj
+            ):
+                out.append((ki, kj))
+        return out
 
     @staticmethod
     def create(max_kf: int = 512, max_mp: int = 32768, feat_cap: int = 1024):

@@ -46,6 +46,9 @@ def save_atlas(path: str, m: MapState, voc=None, extra: dict | None = None):
         "n_maps": int(m.n_maps),
         "n_inertial_ba": int(m.n_inertial_ba),
         "imu_initialized": bool(m.imu_initialized),
+        # persistent loop/merge edges (reference: KeyFrame::AddLoopEdge is
+        # serialized with the keyframe and survives Save/LoadAtlas)
+        "loop_edges": [[int(x) for x in e] for e in m.loop_edges],
         "extra": extra or {},
     }
     with open(path + ".json", "w") as f:
@@ -71,5 +74,6 @@ def load_atlas(path: str, voc=None, check_vocab: bool = True) -> MapState:
         n_maps=manifest["n_maps"],
         n_inertial_ba=manifest["n_inertial_ba"],
         imu_initialized=manifest["imu_initialized"],
+        loop_edges=[tuple(e) for e in manifest.get("loop_edges", [])],
     )
     return m

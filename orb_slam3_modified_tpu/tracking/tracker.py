@@ -863,7 +863,12 @@ class Tracker:
 
 
 def _build_ba_problem(m: MapState, cfg: TrackerConfig, kf_sel, mp_sel, fixed):
-    """Assemble a BAProblem from map arrays for the selected kfs/points."""
+    """Assemble a BAProblem from map arrays for the selected kfs/points.
+
+    Pure NUMPY on purpose: on a tunneled TPU every ad-hoc device op from a
+    host thread costs a round trip (and every new shape a compile) while the
+    device is busy with the tracking stream; the jitted solver converts the
+    whole problem in one batch of transfers at call time."""
     inv_s2_levels = cfg.inv_level_sigma2()
     kf_pos = {int(k): i for i, k in enumerate(kf_sel)}
     mp_pos = np.full(m.mp_valid.shape[0], -1, np.int64)
@@ -882,20 +887,22 @@ def _build_ba_problem(m: MapState, cfg: TrackerConfig, kf_sel, mp_sel, fixed):
             obs_ur.append(m.kf_ur[int(k), slots])
     obs_cam = np.concatenate(obs_cam)
     obs_pt = np.concatenate(obs_pt)
-    obs_uv = np.concatenate(obs_uv)
-    obs_is2 = np.concatenate(obs_is2)
+    obs_uv = np.concatenate(obs_uv).astype(np.float32)
+    obs_is2 = np.concatenate(obs_is2).astype(np.float32)
     return BAProblem(
-        T_cw=SE3(jnp.asarray(m.kf_R[kf_sel]), jnp.asarray(m.kf_t[kf_sel])),
-        cam_fixed=jnp.asarray(fixed),
-        points=jnp.asarray(m.mp_pos[mp_sel]),
-        pt_valid=jnp.asarray(m.mp_valid[mp_sel]),
-        obs_cam=jnp.asarray(obs_cam),
-        obs_pt=jnp.asarray(obs_pt),
-        obs_uv=jnp.asarray(obs_uv),
-        obs_inv_s2=jnp.asarray(obs_is2),
-        obs_valid=jnp.ones(len(obs_cam), bool),
-        obs_ur=jnp.asarray(np.concatenate(obs_ur)) if use_stereo else None,
-        bf=jnp.asarray(cfg.bf, jnp.float32) if use_stereo else None,
+        T_cw=SE3(m.kf_R[kf_sel].copy(), m.kf_t[kf_sel].copy()),
+        cam_fixed=np.asarray(fixed, bool),
+        points=m.mp_pos[mp_sel].copy(),
+        pt_valid=m.mp_valid[mp_sel].copy(),
+        obs_cam=obs_cam,
+        obs_pt=obs_pt,
+        obs_uv=obs_uv,
+        obs_inv_s2=obs_is2,
+        obs_valid=np.ones(len(obs_cam), bool),
+        obs_ur=(
+            np.concatenate(obs_ur).astype(np.float32) if use_stereo else None
+        ),
+        bf=np.float32(cfg.bf) if use_stereo else None,
     )
 
 

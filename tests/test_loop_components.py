@@ -260,3 +260,43 @@ class TestVocabularyIO:
             pytest.skip("default vocabulary asset not built")
         assert voc.n_words >= 1000
         assert float(voc.word_weight.std()) > 0.01  # trained, not uniform
+
+
+class TestLoopEdges:
+    """Persistent loop edges (reference: KeyFrame::AddLoopEdge — every later
+    essential-graph build re-includes historical closures,
+    src/Optimizer.cc:1570 region)."""
+
+    def test_valid_loop_edges_survive_and_invalidate(self):
+        from orb_slam3_modified_tpu.slam_map.map_state import MapState
+
+        m = MapState.create(max_kf=8, max_mp=64, feat_cap=16)
+        a = m.alloc_keyframe(); m.kf_frame_id[a] = 10
+        b = m.alloc_keyframe(); m.kf_frame_id[b] = 20
+        c = m.alloc_keyframe(); m.kf_frame_id[c] = 30
+        m.add_loop_edge(a, c)
+        m.add_loop_edge(b, c)
+        assert m.valid_loop_edges() == [(a, c), (b, c)]
+        # cull b: its edge must drop out
+        m.kf_valid[b] = False
+        assert m.valid_loop_edges() == [(a, c)]
+        # slot reuse: a new keyframe lands in b's slot with a new frame id
+        b2 = m.alloc_keyframe(); m.kf_frame_id[b2] = 99
+        assert b2 == b
+        assert m.valid_loop_edges() == [(a, c)]
+
+    def test_loop_edges_serialize(self, tmp_path):
+        from orb_slam3_modified_tpu.slam_map.map_state import MapState
+        from orb_slam3_modified_tpu.slam_map.serialization import (
+            load_atlas,
+            save_atlas,
+        )
+
+        m = MapState.create(max_kf=8, max_mp=64, feat_cap=16)
+        a = m.alloc_keyframe(); m.kf_frame_id[a] = 1
+        b = m.alloc_keyframe(); m.kf_frame_id[b] = 2
+        m.add_loop_edge(a, b)
+        p = str(tmp_path / "atlas")
+        save_atlas(p, m)
+        m2 = load_atlas(p, check_vocab=False)
+        assert m2.valid_loop_edges() == [(a, b)]
