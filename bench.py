@@ -14,11 +14,15 @@ Baseline = the reference's real-time contract of 20 fps on a desktop CPU
 (BASELINE.md: EuRoC throttle loop,
 Examples/Monocular-Inertial/mono_inertial_euroc.cc:224).
 """
+import faulthandler
 import json
+import signal
 import sys
 import time
 
 import numpy as np
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 
 def render_sequence(cam, n_frames, seed=0):

@@ -23,6 +23,7 @@ from ..lie.se3 import SE3
 from ..optim.ba import bundle_adjust
 from ..slam_map.map_state import NO_POINT, MapState
 from ..tracking.tracker import TrackerConfig, _build_ba_problem, _pad1, _write_back_ba
+from ..utils.fetch import fetch
 
 
 # Session-static local-BA pad shape on accelerator backends (see
@@ -121,7 +122,7 @@ class LocalMapper:
                 m, self.tcfg, kfs, pres, fixed, 0.0, 0.0, imu.cfg
             )
         res = vi_bundle_adjust(prob, self.tcfg.cam, 2, 6)
-        res = jax.tree_util.tree_map(np.asarray, res)  # sync OUTSIDE the lock
+        res = fetch(res)  # overlapped readback, sync OUTSIDE the lock
         with self.lock:
             write_back_vi(m, res, kfs_np, mp_sel)
             # drop visual outliers like the visual LBA does (reference:
@@ -196,8 +197,7 @@ class LocalMapper:
         idx_all, keep_all = _batched_neighbor_match(
             desc_k_snap, free_k, r_k, desc_n, valid_n, r_n, E_n, th_n,
         )
-        idx_all = np.asarray(idx_all)
-        keep_all = np.array(keep_all)
+        idx_all, keep_all = fetch((idx_all, keep_all))
 
         # collect matched pairs from every neighbor, then run ONE batched
         # triangulation dispatch (per-neighbor dispatches cost a tunnel RTT
@@ -355,8 +355,7 @@ class LocalMapper:
         idx_all, ok_all = _batched_fuse_match(
             desc_p, val_p_nb, desc_n, valid_n, uv_pred, uv_n,
         )
-        idx_all = np.asarray(idx_all)
-        ok_all = np.array(ok_all)
+        idx_all, ok_all = fetch((idx_all, ok_all))
         with self.lock:
             self._commit_fuse(k, neighbors, mps_k, c_sel, n_c, idx_all, ok_all)
 
@@ -424,7 +423,7 @@ class LocalMapper:
             prob = _pad_problem(prob)
         with self.stats.measure("ba_solve"):
             res = bundle_adjust(prob, self.tcfg.cam, 2, 5)
-            res = jax.tree_util.tree_map(np.asarray, res)  # sync OUTSIDE the lock
+            res = fetch(res)  # overlapped readback, sync OUTSIDE the lock
         with self.stats.measure("ba_write"), self.lock:
             _write_back_ba(m, prob, res, kf_sel, mp_sel)
             self._drop_ba_outliers(m, prob, res, kf_sel, mp_sel)

@@ -5,24 +5,32 @@ solve is whole-map FullInertialBA on one core. This module is the north-star
 TPU design from BASELINE.json: shard the BA workload over a
 jax.sharding.Mesh and reduce the Schur system with XLA collectives.
 
-Sharding layout (v2, partition-by-point):
+Sharding layout (v3, partition-by-point):
 - points are partitioned into contiguous per-device ranges, and EVERY
   observation of a point lives on the point's shard (host-side grouping in
-  partition_by_point). Point Hessian blocks H_pp, point gradients b_p and
-  the camera-point coupling W therefore stay fully LOCAL — no collective
-  touches anything sized by P or O.
+  partition_by_point — pure numpy, vectorized, so each PROCESS can build
+  only its own shard rows in a multi-host job). Point Hessian blocks H_pp,
+  point gradients b_p and the camera-point coupling W therefore stay fully
+  LOCAL — no collective touches anything sized by P or O.
 - poses are replicated (camera count is small: <=200 even for global BA).
 - the only cross-shard coupling is the reduced camera system: the
   block-diagonal H_cc (K,6,6), b_c (K,6) and the Schur outer product
   S_part (6K,6K) are psum-ed; every device solves the (6K,6K) system
   redundantly (cheap vs. the reduction) and back-substitutes its own
   point shard.
+- stereo rows (obs_ur >= 0) ride along: residuals become (u, v, uR) exactly
+  like the single-device solver (reference EdgeStereo,
+  include/G2oTypes.h:414).
 
 v1 replicated the full point state and psum-ed (P,6K,3) tensors; v2's
-per-iteration collective volume is O((6K)^2) regardless of map size —
-the layout the SURVEY §5.7 reduce_scatter/all_reduce plan calls for.
+per-iteration collective volume is O((6K)^2) regardless of map size; v3
+adds stereo rows, vectorized host partitioning, and a pre-sharded input
+path for true multi-process runs (each host feeds only its own rows via
+multihost.distribute_array).
 """
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,158 +41,213 @@ from ..cameras import Camera
 from ..lie import se3, so3
 from ..lie.se3 import SE3
 from ..optim.ba import BAProblem, _obs_residuals
-from ..optim.robust import DELTA_MONO, huber_weight
+from ..optim.robust import DELTA_MONO, DELTA_STEREO, huber_weight
 
 
 def _round_up(n, q):
     return ((n + q - 1) // q) * q
 
 
-def pad_problem_for_mesh(prob: BAProblem, n_shards: int) -> BAProblem:
-    """Pad O and P to multiples of the mesh size."""
-    O = prob.obs_cam.shape[0]
-    Pn = prob.points.shape[0]
-    Ob = _round_up(O, n_shards)
-    Pb = _round_up(Pn, n_shards)
-    if (Ob, Pb) == (O, Pn):
-        return prob
-    po, pp = Ob - O, Pb - Pn
-    return BAProblem(
-        T_cw=prob.T_cw,
-        cam_fixed=prob.cam_fixed,
-        points=jnp.concatenate([prob.points, jnp.zeros((pp, 3), prob.points.dtype)]),
-        pt_valid=jnp.concatenate([prob.pt_valid, jnp.zeros(pp, bool)]),
-        obs_cam=jnp.concatenate([prob.obs_cam, jnp.zeros(po, jnp.int32)]),
-        obs_pt=jnp.concatenate([prob.obs_pt, jnp.zeros(po, jnp.int32)]),
-        obs_uv=jnp.concatenate([prob.obs_uv, jnp.zeros((po, 2), prob.obs_uv.dtype)]),
-        obs_inv_s2=jnp.concatenate([prob.obs_inv_s2, jnp.ones(po, prob.obs_inv_s2.dtype)]),
-        obs_valid=jnp.concatenate([prob.obs_valid, jnp.zeros(po, bool)]),
+class PointPartition(NamedTuple):
+    """Host-side point-partitioned view of a BAProblem (pure numpy).
+
+    Shard i owns points [i*P_l, (i+1)*P_l); observations are grouped by the
+    owning shard of their point, each storing the LOCAL point index. Arrays
+    are the concatenation over shards (n_shards*X_l rows), so slicing rows
+    [lo*X_l, hi*X_l) yields the host-local block for shards [lo, hi) — the
+    multi-process ingestion path.
+    """
+
+    n_shards: int
+    P_l: int
+    O_l: int
+    Pn: int  # original (unpadded) point count
+    points: np.ndarray  # (n*P_l, 3)
+    pt_valid: np.ndarray  # (n*P_l,)
+    obs_cam: np.ndarray  # (n*O_l,)
+    obs_pt: np.ndarray  # (n*O_l,) local point index within the shard
+    obs_uv: np.ndarray  # (n*O_l, 2)
+    obs_inv_s2: np.ndarray  # (n*O_l,)
+    obs_valid: np.ndarray  # (n*O_l,)
+    obs_ur: np.ndarray = None  # (n*O_l,) right-image u; None = mono problem
+
+
+def partition_by_point(prob: BAProblem, n_shards: int) -> PointPartition:
+    """Group observations by the shard that owns their point (vectorized)."""
+    obs_pt = np.asarray(prob.obs_pt)
+    obs_valid = np.asarray(prob.obs_valid)
+    Pn = int(np.asarray(prob.points).shape[0])
+    P_pad = _round_up(max(Pn, n_shards), n_shards)
+    P_l = P_pad // n_shards
+    owner = np.minimum(obs_pt // P_l, n_shards - 1)
+    owner = np.where(obs_valid, owner, n_shards)  # invalid rows sort last
+    order = np.argsort(owner, kind="stable")
+    counts = np.bincount(owner[obs_valid], minlength=n_shards)[:n_shards]
+    O_l = int(_round_up(max(int(counts.max()) if len(counts) else 1, 1), 8))
+
+    def grouped(src, fill=0.0):
+        src = np.asarray(src)
+        out = np.full((n_shards * O_l, *src.shape[1:]), fill, src.dtype)
+        srco = src[order]
+        pos = 0
+        for s in range(n_shards):
+            c = int(counts[s])
+            out[s * O_l : s * O_l + c] = srco[pos : pos + c]
+            pos += c
+        return out
+
+    oc = grouped(prob.obs_cam)
+    op_global = grouped(prob.obs_pt)
+    shard_of_row = np.repeat(np.arange(n_shards), O_l)
+    op = (op_global - shard_of_row * P_l).astype(np.int32)
+    oval = grouped(prob.obs_valid, False)
+    op[~oval] = 0
+    pts = np.zeros((P_pad, 3), np.float32)
+    ptv = np.zeros(P_pad, bool)
+    pts[:Pn] = np.asarray(prob.points)
+    ptv[:Pn] = np.asarray(prob.pt_valid)
+    return PointPartition(
+        n_shards=n_shards,
+        P_l=P_l,
+        O_l=O_l,
+        Pn=Pn,
+        points=pts,
+        pt_valid=ptv,
+        obs_cam=oc,
+        obs_pt=op,
+        obs_uv=grouped(prob.obs_uv),
+        obs_inv_s2=grouped(prob.obs_inv_s2, 1.0),
+        obs_valid=oval,
+        obs_ur=None if prob.obs_ur is None else grouped(prob.obs_ur, -1.0),
     )
 
 
-class PartitionedProblem:
-    """Host-side point-partitioned view of a BAProblem.
+def local_rows(part: PointPartition, shard_lo: int, shard_hi: int) -> PointPartition:
+    """The host-local block of a partition: rows of shards [lo, hi).
 
-    points: (n, P_l, 3) concatenated as (n*P_l, 3) — shard i owns points
-    [i*P_l, (i+1)*P_l) of the PERMUTED point array (perm maps new->old).
-    Observations are grouped by owning shard and padded to a common O_l.
+    In a multi-process job each process calls partition_by_point on its own
+    (globally consistent) problem copy OR builds only these rows, then feeds
+    them to multihost.distribute_array — no process ever has to materialize
+    another host's device shards.
     """
 
-    def __init__(self, prob: BAProblem, n_shards: int):
-        obs_pt = np.asarray(prob.obs_pt)
-        obs_valid = np.asarray(prob.obs_valid)
-        Pn = prob.points.shape[0]
-        P_pad = _round_up(max(Pn, n_shards), n_shards)
-        self.P_l = P_pad // n_shards
-        self.n_shards = n_shards
-        self.perm = np.arange(P_pad)  # new point order (identity + padding)
-        # contiguous ranges own the points; observations follow their point
-        owner = np.minimum(obs_pt // self.P_l, n_shards - 1)
-        counts = np.bincount(owner[obs_valid], minlength=n_shards)
-        O_l = int(_round_up(max(int(counts.max()), 1), 8))
-        self.O_l = O_l
-        n_obs = len(obs_pt)
-        oc = np.zeros((n_shards, O_l), np.int32)
-        op = np.zeros((n_shards, O_l), np.int32)
-        ouv = np.zeros((n_shards, O_l, 2), np.float32)
-        ois = np.ones((n_shards, O_l), np.float32)
-        oval = np.zeros((n_shards, O_l), bool)
-        obs_cam = np.asarray(prob.obs_cam)
-        obs_uv = np.asarray(prob.obs_uv)
-        obs_is2 = np.asarray(prob.obs_inv_s2)
-        fill = np.zeros(n_shards, np.int32)
-        for o in range(n_obs):
-            if not obs_valid[o]:
-                continue
-            s = int(owner[o])
-            i = fill[s]
-            oc[s, i] = obs_cam[o]
-            op[s, i] = obs_pt[o] - s * self.P_l  # LOCAL point index
-            ouv[s, i] = obs_uv[o]
-            ois[s, i] = obs_is2[o]
-            oval[s, i] = True
-            fill[s] += 1
-        pts = np.zeros((P_pad, 3), np.float32)
-        ptv = np.zeros(P_pad, bool)
-        pts[:Pn] = np.asarray(prob.points)
-        ptv[:Pn] = np.asarray(prob.pt_valid)
-        self.obs_cam = jnp.asarray(oc.reshape(-1))
-        self.obs_pt = jnp.asarray(op.reshape(-1))
-        self.obs_uv = jnp.asarray(ouv.reshape(-1, 2))
-        self.obs_inv_s2 = jnp.asarray(ois.reshape(-1))
-        self.obs_valid = jnp.asarray(oval.reshape(-1))
-        self.points = jnp.asarray(pts)
-        self.pt_valid = jnp.asarray(ptv)
-        self.Pn = Pn
+    def po(a):
+        return None if a is None else a[shard_lo * part.P_l : shard_hi * part.P_l]
+
+    def oo(a):
+        return None if a is None else a[shard_lo * part.O_l : shard_hi * part.O_l]
+
+    return part._replace(
+        points=po(part.points),
+        pt_valid=po(part.pt_valid),
+        obs_cam=oo(part.obs_cam),
+        obs_pt=oo(part.obs_pt),
+        obs_uv=oo(part.obs_uv),
+        obs_inv_s2=oo(part.obs_inv_s2),
+        obs_valid=oo(part.obs_valid),
+        obs_ur=oo(part.obs_ur),
+    )
 
 
-def make_dist_ba_step(mesh: Mesh, cam: Camera, K: int, P_l: int, axis: str = "ba"):
+def _visual_local_systems(cam, Rk, tk, pts_local, obs, K, P_l, lam, inlier=None):
+    """Shard-local visual Schur pieces. obs is a dict-like of local arrays.
+    Returns (S_part_pose (6K,6K) pre-psum pieces...) — see callers."""
+    obs_cam, obs_pt = obs["cam"], obs["pt"]
+    obs_uv, obs_is2, obs_val = obs["uv"], obs["is2"], obs["val"]
+    obs_ur, bf = obs.get("ur"), obs.get("bf")
+    prob_like = BAProblem(
+        T_cw=SE3(Rk, tk), cam_fixed=None,
+        points=pts_local, pt_valid=obs["ptv"],
+        obs_cam=obs_cam, obs_pt=obs_pt, obs_uv=obs_uv,
+        obs_inv_s2=obs_is2, obs_valid=obs_val,
+        obs_ur=obs_ur, bf=bf,
+    )
+    r, Jpose, Jpt, pc = _obs_residuals(prob_like, cam, Rk, tk, pts_local)
+    R_rows = r.shape[1]
+    if obs_ur is not None:
+        rmask = jnp.stack(
+            [jnp.ones_like(obs_is2), jnp.ones_like(obs_is2),
+             (obs_ur >= 0).astype(r.dtype)], axis=-1
+        )
+        delta = jnp.where(obs_ur >= 0, DELTA_STEREO, DELTA_MONO)
+    else:
+        rmask = jnp.ones((r.shape[0], 2), r.dtype)
+        delta = DELTA_MONO
+    chi2 = jnp.sum(r * r * rmask, axis=-1) * obs_is2
+    w = (
+        obs_val.astype(r.dtype)
+        * obs["ptv"][obs_pt].astype(r.dtype)
+        * huber_weight(chi2, delta)
+        * obs_is2
+    )
+    if inlier is not None:
+        w = w * inlier.astype(r.dtype)
+    w = jnp.where(pc[..., 2] > 0, w, 0.0)
+    wr = w[:, None] * rmask  # (O_l, R)
+    onehot = (obs_cam[:, None] == jnp.arange(K)[None, :]).astype(r.dtype)
+    Jc = jnp.einsum("ok,orj->orkj", onehot, Jpose).reshape(r.shape[0], R_rows, K * 6)
+    wJc = wr[:, :, None] * Jc
+    H_pose = jnp.einsum("ora,orb->ab", wJc, Jc)  # (6K, 6K) local
+    b_pose = jnp.einsum("ora,or->a", wJc, r)
+    H_pp = jax.ops.segment_sum(
+        jnp.einsum("or,ora,orb->oab", wr, Jpt, Jpt), obs_pt, num_segments=P_l
+    )
+    b_p = jax.ops.segment_sum(
+        jnp.einsum("or,ora,or->oa", wr, Jpt, r), obs_pt, num_segments=P_l
+    )
+    W = jax.ops.segment_sum(
+        jnp.einsum("ora,orb->oab", wJc, Jpt), obs_pt, num_segments=P_l
+    )  # (P_l, 6K, 3)
+    H_pp_d = H_pp + jnp.eye(3, dtype=r.dtype) * (
+        lam * jnp.diagonal(H_pp, axis1=-2, axis2=-1) + 1e-8
+    )[..., :, None]
+    ptv = obs["ptv"]
+    H_pp_inv = jnp.linalg.inv(
+        jnp.where(ptv[:, None, None], H_pp_d, jnp.eye(3, dtype=r.dtype))
+    )
+    H_pp_inv = jnp.where(ptv[:, None, None], H_pp_inv, 0.0)
+    S_part = jnp.einsum("pac,pcd,pbd->ab", W, H_pp_inv, W)
+    b_red_part = jnp.einsum("pac,pcd,pd->a", W, H_pp_inv, b_p)
+    c_local = jnp.sum(w * jnp.where(jnp.isfinite(chi2), chi2, 0.0))
+    return (
+        H_pose, b_pose, S_part, b_red_part, H_pp_inv, W, b_p, w, rmask, c_local
+    )
+
+
+def _visual_cost_local(cam, Rk, tk, pts_local, obs, w, rmask):
+    prob_like = BAProblem(
+        T_cw=SE3(Rk, tk), cam_fixed=None,
+        points=pts_local, pt_valid=obs["ptv"],
+        obs_cam=obs["cam"], obs_pt=obs["pt"], obs_uv=obs["uv"],
+        obs_inv_s2=obs["is2"], obs_valid=obs["val"],
+        obs_ur=obs.get("ur"), bf=obs.get("bf"),
+    )
+    r, _, _, pc = _obs_residuals(prob_like, cam, Rk, tk, pts_local)
+    chi2 = jnp.sum(r * r * rmask, axis=-1) * obs["is2"]
+    return jnp.sum(jnp.where(pc[..., 2] > 0, w * chi2, jnp.inf * w))
+
+
+def make_dist_ba_step(
+    mesh: Mesh, cam: Camera, K: int, P_l: int, axis: str = "ba", stereo: bool = False
+):
     """Build the sharded one-LM-iteration step over a point-partitioned
     problem. All point/observation structures are shard-local; cross-shard
-    coupling is ONLY the psum of the (K,6,6)+(6K,6K) camera system."""
+    coupling is ONLY the psum of the (6K,6K) camera system + cost scalars."""
     from jax import shard_map
 
     def step_local(Rk, tk, pts_local, obs_cam, obs_pt, obs_uv, obs_is2, obs_val,
-                   pt_valid_local, cam_fixed, lam):
-        prob_like = BAProblem(
-            T_cw=SE3(Rk, tk), cam_fixed=cam_fixed,
-            points=pts_local, pt_valid=pt_valid_local,
-            obs_cam=obs_cam, obs_pt=obs_pt, obs_uv=obs_uv,
-            obs_inv_s2=obs_is2, obs_valid=obs_val,
+                   obs_ur, bf, pt_valid_local, cam_fixed, lam):
+        obs = {
+            "cam": obs_cam, "pt": obs_pt, "uv": obs_uv, "is2": obs_is2,
+            "val": obs_val, "ptv": pt_valid_local,
+            "ur": obs_ur if stereo else None, "bf": bf if stereo else None,
+        }
+        (H_pose, b_pose, S_part, b_red_part, H_pp_inv, W, b_p, w, rmask,
+         c_local) = _visual_local_systems(
+            cam, Rk, tk, pts_local, obs, K, P_l, lam
         )
-        r, Jpose, Jpt, pc = _obs_residuals(prob_like, cam, Rk, tk, pts_local)
-        chi2 = jnp.sum(r * r, axis=-1) * obs_is2
-        w = (
-            obs_val.astype(r.dtype)
-            * pt_valid_local[obs_pt].astype(r.dtype)
-            * huber_weight(chi2, DELTA_MONO)
-            * obs_is2
-        )
-        w = jnp.where(pc[..., 2] > 0, w, 0.0)
-        wJc = w[:, None, None] * Jpose  # (O_l, 2, 6)
-        # block-diagonal camera Hessian: one obs touches exactly one camera
-        Hc = jax.lax.psum(
-            jax.ops.segment_sum(
-                jnp.einsum("ora,orb->oab", wJc, Jpose), obs_cam, num_segments=K
-            ),
-            axis,
-        )  # (K, 6, 6)
-        b_c = jax.lax.psum(
-            jax.ops.segment_sum(
-                jnp.einsum("ora,or->oa", wJc, r), obs_cam, num_segments=K
-            ),
-            axis,
-        )  # (K, 6)
-        # point structures: fully local (observations were grouped by point)
-        H_pp = jax.ops.segment_sum(
-            jnp.einsum("o,ora,orb->oab", w, Jpt, Jpt), obs_pt, num_segments=P_l
-        )
-        b_p = jax.ops.segment_sum(
-            jnp.einsum("o,ora,or->oa", w, Jpt, r), obs_pt, num_segments=P_l
-        )
-        comb = obs_pt * K + obs_cam
-        W = jax.ops.segment_sum(
-            jnp.einsum("ora,orb->oab", wJc, Jpt), comb, num_segments=P_l * K
-        ).reshape(P_l, K * 6, 3)  # camera-point coupling, local
-        H_pp_d = H_pp + jnp.eye(3, dtype=r.dtype) * (
-            lam * jnp.diagonal(H_pp, axis1=-2, axis2=-1) + 1e-8
-        )[..., :, None]
-        H_pp_inv = jnp.linalg.inv(
-            jnp.where(pt_valid_local[:, None, None], H_pp_d, jnp.eye(3, dtype=r.dtype))
-        )
-        H_pp_inv = jnp.where(pt_valid_local[:, None, None], H_pp_inv, 0.0)
-        # Schur reduction: local outer products, ONE (6K,6K) psum
-        S_part = jnp.einsum("pac,pcd,pbd->ab", W, H_pp_inv, W)
-        b_red_part = jnp.einsum("pac,pcd,pd->a", W, H_pp_inv, b_p)
-        # block-diagonal H_cc -> dense (6K, 6K)
-        S = jnp.zeros((K * 6, K * 6), r.dtype)
-        idx = jnp.arange(K)
-        S = S.at[
-            (idx[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
-            (idx[:, None, None] * 6 + jnp.arange(6)[None, None, :]),
-        ].set(Hc)
-        S = S - jax.lax.psum(S_part, axis)
-        b_red = b_c.reshape(-1) - jax.lax.psum(b_red_part, axis)
+        S = jax.lax.psum(H_pose - S_part, axis)
+        b_red = jax.lax.psum(b_pose - b_red_part, axis)
         diagS = jnp.diag(S)
         S = S + jnp.diag(lam * diagS + 1e-8)
         fixed6 = jnp.repeat(cam_fixed, 6)
@@ -195,18 +258,17 @@ def make_dist_ba_step(mesh: Mesh, cam: Camera, K: int, P_l: int, axis: str = "ba
         dx_pt = -jnp.einsum(
             "pcd,pd->pc", H_pp_inv, b_p + jnp.einsum("pac,a->pc", W, dx_cam)
         )
-        dx_cam = dx_cam.reshape(K, 6)
-        R_new = jax.vmap(lambda d, R: se3.exp(d).R @ R)(dx_cam, Rk)
-        t_new = jax.vmap(lambda d, R, t: (se3.exp(d) @ SE3(R, t)).t)(dx_cam, Rk, tk)
+        dx_cam6 = dx_cam.reshape(K, 6)
+        R_new = jax.vmap(lambda d, R: se3.exp(d).R @ R)(dx_cam6, Rk)
+        t_new = jax.vmap(lambda d, R, t: (se3.exp(d) @ SE3(R, t)).t)(dx_cam6, Rk, tk)
         pts_new = pts_local + dx_pt
         # accept/reject on the global cost (psum of local weighted chi2)
-        c_old = jax.lax.psum(jnp.sum(w * chi2), axis)
-        prob2 = prob_like._replace(T_cw=SE3(R_new, t_new), points=pts_new)
-        r2, _, _, pc2 = _obs_residuals(prob2, cam, R_new, t_new, pts_new)
-        chi2n = jnp.sum(r2 * r2, axis=-1) * obs_is2
-        c_new = jax.lax.psum(
-            jnp.sum(jnp.where(pc2[..., 2] > 0, w * chi2n, w * chi2)), axis
-        )
+        c_old = jax.lax.psum(c_local, axis)
+        chi_new_local = _visual_cost_local(cam, R_new, t_new, pts_new, obs, w, rmask)
+        # a point behind a camera post-step keeps the old cost row (mirrors
+        # the single-device gate); jnp.inf rows force rejection instead
+        chi_new_local = jnp.where(jnp.isfinite(chi_new_local), chi_new_local, jnp.inf)
+        c_new = jax.lax.psum(chi_new_local, axis)
         good = c_new < c_old
         Rk = jnp.where(good, R_new, Rk)
         tk = jnp.where(good, t_new, tk)
@@ -222,6 +284,8 @@ def make_dist_ba_step(mesh: Mesh, cam: Camera, K: int, P_l: int, axis: str = "ba
                 P(), P(),                      # Rk, tk (replicated)
                 P(axis),                       # points (sharded by owner)
                 P(axis), P(axis), P(axis), P(axis), P(axis),  # observations
+                P(axis) if stereo else P(),    # obs_ur (sharded) / dummy
+                P(),                           # bf (replicated)
                 P(axis),                       # pt_valid (sharded)
                 P(), P(),                      # cam_fixed, lam
             ),
@@ -232,20 +296,123 @@ def make_dist_ba_step(mesh: Mesh, cam: Camera, K: int, P_l: int, axis: str = "ba
     return sharded
 
 
-def dist_bundle_adjust(prob: BAProblem, cam: Camera, mesh: Mesh, iters: int = 10):
-    """Run `iters` sharded LM iterations. Returns (SE3, points) with points
-    in the original order (padding stripped by the caller via [:P])."""
-    n = mesh.shape["ba"]
-    part = PartitionedProblem(prob, n)
-    K = prob.T_cw.t.shape[0]
-    step = make_dist_ba_step(mesh, cam, K, part.P_l)
+def dist_bundle_adjust(
+    prob: BAProblem,
+    cam: Camera,
+    mesh: Mesh,
+    iters: int = 10,
+    part: PointPartition | None = None,
+    arrays: dict | None = None,
+):
+    """Run `iters` sharded LM iterations.
 
-    lam = jnp.asarray(1e-4, prob.points.dtype)
-    Rk, tk, pts = prob.T_cw.R, prob.T_cw.t, part.points
+    Three input paths:
+    - prob only: partition on this host (single-process convenience).
+    - part: pre-partitioned numpy (host may hold all rows or — multi-process
+      — only its own; pass `arrays` then).
+    - arrays: pre-distributed GLOBAL jax.Arrays (from
+      multihost.distribute_array); nothing is host-gathered here, so this
+      path works when no process holds the whole problem.
+
+    Returns (SE3, points (global, padded — slice [:Pn])).
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    if part is None and arrays is None:
+        part = partition_by_point(prob, n)
+    stereo = (
+        prob.obs_ur is not None
+        if arrays is None
+        else arrays.get("obs_ur") is not None
+    )
+    K = np.asarray(prob.T_cw.t).shape[0]
+    if arrays is None:
+        from . import multihost
+
+        shard, rep = P(axis), P()
+        arrays = {
+            "points": multihost.distribute_array(part.points, mesh, shard),
+            "pt_valid": multihost.distribute_array(part.pt_valid, mesh, shard),
+            "obs_cam": multihost.distribute_array(part.obs_cam, mesh, shard),
+            "obs_pt": multihost.distribute_array(part.obs_pt, mesh, shard),
+            "obs_uv": multihost.distribute_array(part.obs_uv, mesh, shard),
+            "obs_inv_s2": multihost.distribute_array(part.obs_inv_s2, mesh, shard),
+            "obs_valid": multihost.distribute_array(part.obs_valid, mesh, shard),
+            "obs_ur": (
+                None if part.obs_ur is None
+                else multihost.distribute_array(part.obs_ur, mesh, shard)
+            ),
+        }
+        P_l = part.P_l
+    else:
+        P_l = arrays["points"].shape[0] // n
+    step = make_dist_ba_step(mesh, cam, K, P_l, axis, stereo=stereo)
+
+    lam = jnp.asarray(1e-4, jnp.float32)
+    Rk = jnp.asarray(np.asarray(prob.T_cw.R, np.float32))
+    tk = jnp.asarray(np.asarray(prob.T_cw.t, np.float32))
+    cam_fixed = jnp.asarray(np.asarray(prob.cam_fixed, bool))
+    pts = arrays["points"]
+    obs_ur = arrays.get("obs_ur")
+    if obs_ur is None:
+        obs_ur = arrays["obs_inv_s2"]  # dummy, ignored when stereo=False
+    bf = jnp.asarray(
+        np.float32(np.asarray(prob.bf)) if prob.bf is not None else np.float32(0.0)
+    )
     for _ in range(iters):
         Rk, tk, pts, lam = step(
             Rk, tk, pts,
-            part.obs_cam, part.obs_pt, part.obs_uv, part.obs_inv_s2,
-            part.obs_valid, part.pt_valid, prob.cam_fixed, lam,
+            arrays["obs_cam"], arrays["obs_pt"], arrays["obs_uv"],
+            arrays["obs_inv_s2"], arrays["obs_valid"], obs_ur, bf,
+            arrays["pt_valid"], cam_fixed, lam,
         )
     return SE3(so3.normalize(Rk), tk), pts
+
+
+# ---------------------------------------------------------------- legacy API
+class PartitionedProblem:
+    """Back-compat shim over partition_by_point (v2 API)."""
+
+    def __init__(self, prob: BAProblem, n_shards: int):
+        part = partition_by_point(prob, n_shards)
+        self.P_l = part.P_l
+        self.O_l = part.O_l
+        self.Pn = part.Pn
+        self.n_shards = n_shards
+        self.obs_cam = jnp.asarray(part.obs_cam)
+        self.obs_pt = jnp.asarray(part.obs_pt)
+        self.obs_uv = jnp.asarray(part.obs_uv)
+        self.obs_inv_s2 = jnp.asarray(part.obs_inv_s2)
+        self.obs_valid = jnp.asarray(part.obs_valid)
+        self.points = jnp.asarray(part.points)
+        self.pt_valid = jnp.asarray(part.pt_valid)
+
+
+def pad_problem_for_mesh(prob: BAProblem, n_shards: int) -> BAProblem:
+    """Pad O and P to multiples of the mesh size (numpy)."""
+    O = np.asarray(prob.obs_cam).shape[0]
+    Pn = np.asarray(prob.points).shape[0]
+    Ob = _round_up(O, n_shards)
+    Pb = _round_up(Pn, n_shards)
+    if (Ob, Pb) == (O, Pn):
+        return prob
+
+    def padn(a, nrow, fill=0.0):
+        a = np.asarray(a)
+        out = np.full((nrow, *a.shape[1:]), fill, a.dtype)
+        out[: len(a)] = a
+        return out
+
+    return BAProblem(
+        T_cw=prob.T_cw,
+        cam_fixed=prob.cam_fixed,
+        points=padn(prob.points, Pb),
+        pt_valid=padn(prob.pt_valid, Pb, False),
+        obs_cam=padn(prob.obs_cam, Ob),
+        obs_pt=padn(prob.obs_pt, Ob),
+        obs_uv=padn(prob.obs_uv, Ob),
+        obs_inv_s2=padn(prob.obs_inv_s2, Ob, 1.0),
+        obs_valid=padn(prob.obs_valid, Ob, False),
+        obs_ur=None if prob.obs_ur is None else padn(prob.obs_ur, Ob, -1.0),
+        bf=prob.bf,
+    )

@@ -39,6 +39,7 @@ from ..lie.se3 import SE3
 from ..optim.ba import BAProblem, bundle_adjust
 from ..optim.pose_opt import pose_optimization
 from ..slam_map.map_state import NO_POINT, MapState
+from ..utils.fetch import fetch
 
 NOT_INITIALIZED = 0
 OK = 1
@@ -423,7 +424,7 @@ class Tracker:
                 radius, level_tol=1, max_dist=TH_HIGH, ratio=0.9,
             )
             keep = resolve_duplicate_targets(idx, okm, dist, feats.capacity)
-            idx_np, keep_np = np.asarray(idx), np.array(keep)
+            idx_np, keep_np = fetch((idx, keep))
             keep_np[n_cand:] = False
             if keep_np.sum() >= 20:
                 # pose optimization on these associations
@@ -604,9 +605,10 @@ class Tracker:
                 R_bc=jnp.asarray(R_bc),
                 t_bc=jnp.asarray(t_bc),
             )
-            imu._pred_v = np.asarray(res.v_w)
-            imu._marg_pending = np.asarray(res.H_marg)
-            return res.T_cw, np.asarray(res.inliers)[: len(pts_w)]
+            res = fetch(res)
+            imu._pred_v = res.v_w
+            imu._marg_pending = res.H_marg
+            return SE3(res.T_cw.R, res.T_cw.t), res.inliers[: len(pts_w)]
         res = pose_optimization(
             T0,
             self.cfg.cam,
@@ -617,7 +619,8 @@ class Tracker:
             ur_obs=ur_p,
             bf=None if ur_p is None else jnp.asarray(self.cfg.bf, jnp.float32),
         )
-        return res.T_cw, np.asarray(res.inliers)[: len(pts_w)]
+        res = fetch(res)
+        return SE3(res.T_cw.R, res.T_cw.t), res.inliers[: len(pts_w)]
 
     def _track_reference_kf(self, feats: Features, T_pred):
         """Reference: TrackReferenceKeyFrame (src/Tracking.cc:2723) — match
@@ -645,7 +648,7 @@ class Tracker:
             ratio=0.7,
         )
         keep = resolve_duplicate_targets(idx, okm, dist, feats.capacity)
-        idx_np, keep_np = np.asarray(idx), np.array(keep)
+        idx_np, keep_np = fetch((idx, keep))
         keep_np[n_obs:] = False
         if keep_np.sum() < 15:
             return T_pred, obs_mp, False
