@@ -47,6 +47,11 @@ class Settings:
     # stereo rectification maps (reference Settings.h:44-121 needToRectify);
     # when set, `cam`/`baseline` already describe the rectified pair
     rect: object = None
+    # non-rectified (KB8 fisheye) stereo rig: right camera + left->right
+    # extrinsics (reference: Settings KannalaBrandt stereo branch — no
+    # rectification, ComputeStereoFishEyeMatches src/Frame.cc:1126)
+    cam_right: object = None
+    T_rl: Optional[np.ndarray] = None  # (4,4): p_right = R p_left + t
 
 
 def _cv_mat(d, key):
@@ -94,12 +99,39 @@ def load_settings(path: str) -> Settings:
     h = int(get("Camera.height", get("Camera1.height", 480)))
     dist = None
     rect = None
-    if str(cam_type).lower().startswith(("kannala", "fisheye")):
+    cam_right = None
+    T_rl = None
+    is_kb8 = str(cam_type).lower().startswith(("kannala", "fisheye"))
+    if is_kb8:
         k0 = float(get(f"{prefix}.k1", 0.0))
         k1 = float(get(f"{prefix}.k2", 0.0))
         k2 = float(get(f"{prefix}.k3", 0.0))
         k3 = float(get(f"{prefix}.k4", 0.0))
         cam = Camera.kb8(fx, fy, cx, cy, k0, k1, k2, k3, width=w, height=h)
+        if "Camera2.fx" in d:
+            # KB8 stereo rig (TUM-VI style): no rectification — the right
+            # camera + T_c1_c2 drive general left<->right bearing matching
+            # (reference: Settings KannalaBrandt8 branch keeps both cameras,
+            # include/Settings.h:44-121; ComputeStereoFishEyeMatches
+            # src/Frame.cc:1126)
+            cam_right = Camera.kb8(
+                float(d["Camera2.fx"]), float(d["Camera2.fy"]),
+                float(d["Camera2.cx"]), float(d["Camera2.cy"]),
+                float(d.get("Camera2.k1", 0.0) or 0.0),
+                float(d.get("Camera2.k2", 0.0) or 0.0),
+                float(d.get("Camera2.k3", 0.0) or 0.0),
+                float(d.get("Camera2.k4", 0.0) or 0.0),
+                width=w, height=h,
+            )
+            T12 = _cv_mat(d, "Stereo.T_c1_c2")
+            if T12 is not None:
+                T12 = np.vstack([T12[:3], [0, 0, 0, 1.0]])
+                # T_c1_c2 = pose of cam2 in cam1; we need p_r = R p_l + t
+                Rrel = T12[:3, :3].T
+                trel = -Rrel @ T12[:3, 3]
+                T_rl = np.eye(4)
+                T_rl[:3, :3] = Rrel
+                T_rl[:3, 3] = trel
     else:
         cam = Camera.pinhole(fx, fy, cx, cy, width=w, height=h)
         dvec = np.array(
@@ -177,7 +209,13 @@ def load_settings(path: str) -> Settings:
     baseline = float(get("Camera.bf", get("Stereo.b", 0.0)) or 0.0)
     if rect is not None and rect.bf > 0:
         baseline = rect.bf
+    if T_rl is not None and baseline <= 0:
+        # KB8 rig: bf from the stereo baseline and the left focal length
+        # (reference: Settings::readCamera2 computes b from Tlr and bf = b*fx)
+        baseline = float(np.linalg.norm(T_rl[:3, 3])) * fx
     return Settings(
+        cam_right=cam_right,
+        T_rl=T_rl,
         cam=cam,
         extractor=ext,
         imu=imu,

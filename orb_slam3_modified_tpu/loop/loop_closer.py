@@ -481,17 +481,42 @@ class LoopCloser:
             pre_R = m.kf_R[kfs].copy()
             pre_t = m.kf_t[kfs].copy()
         res = None
-        for round_idx in range(2):
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            # multi-chip: shard the whole-map solve over the mesh
+            # (BASELINE.json north star; observations/points partitioned by
+            # point, (6K,6K) Schur system psum-reduced — parallel/dist_ba.py)
+            from jax.sharding import Mesh
+
+            from ..parallel.dist_ba import dist_bundle_adjust
+
             if abort is not None and abort.is_set():
                 self.n_gba_aborted += 1
                 return False
-            # split the reference's (2 rounds x 5 iters) schedule into two
-            # dispatches: Huber round, reclassify outliers, plain round
-            res = bundle_adjust(prob, self.tcfg.cam, 1, 5, round_idx == 0)
-            prob = prob._replace(
-                T_cw=res.T_cw, points=res.points,
-                obs_valid=prob.obs_valid & res.obs_inlier,
+            mesh = Mesh(np.array(jax.devices()), ("ba",))
+            T_opt, pts_opt = dist_bundle_adjust(
+                prob, self.tcfg.cam, mesh, iters=10
             )
+            from ..optim.ba import BAResult
+
+            res = BAResult(
+                T_cw=T_opt,
+                points=pts_opt[: prob.points.shape[0]],
+                obs_inlier=prob.obs_valid,
+                chi2=None,
+            )
+        else:
+            for round_idx in range(2):
+                if abort is not None and abort.is_set():
+                    self.n_gba_aborted += 1
+                    return False
+                # split the reference's (2 rounds x 5 iters) schedule into two
+                # dispatches: Huber round, reclassify outliers, plain round
+                res = bundle_adjust(prob, self.tcfg.cam, 1, 5, round_idx == 0)
+                prob = prob._replace(
+                    T_cw=res.T_cw, points=res.points,
+                    obs_valid=prob.obs_valid & res.obs_inlier,
+                )
         if abort is not None and abort.is_set():
             self.n_gba_aborted += 1
             return False

@@ -76,9 +76,11 @@ def distribute_array(x, mesh: Mesh, spec: P):
     exceed one host's memory.
     """
     sharding = NamedSharding(mesh, spec)
-    x = jnp.asarray(x)
     if jax.process_count() == 1:
-        return jax.device_put(x, sharding)
+        return jax.device_put(jnp.asarray(x), sharding)
+    # multi-process: x is THIS PROCESS's rows (sharded specs) or the full
+    # array (replicated specs); keep it host-side numpy so no device round
+    # trip happens before assembly
     return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
 

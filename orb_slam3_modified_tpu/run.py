@@ -112,6 +112,11 @@ def main(argv=None):
         bf=bf if "stereo" in args.sensor or args.sensor == "rgbd" else 0.0,
         dist=dist,
         imu=imu_cfg,
+        # KB8 fisheye rig (no rectification): general left<->right matching
+        cam_right=(
+            st.cam_right if args.config and "stereo" in args.sensor else None
+        ),
+        T_rl=st.T_rl if args.config and "stereo" in args.sensor else None,
     )
     slam = SlamSystem(sys_cfg)
     if args.atlas_in:

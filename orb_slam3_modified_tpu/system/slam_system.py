@@ -267,7 +267,10 @@ class SlamSystem:
                     self.cfg.cam, self.cfg.cam_right,
                     T_rl[:3, :3], T_rl[:3, 3],
                 )
-                depth = np.asarray(depth)
+                # unmatched rows must not spawn depth points
+                depth = np.where(np.asarray(ok), np.asarray(depth), -1.0).astype(
+                    np.float32
+                )
             else:
                 u_r, depth, ok = match_stereo(
                     feats.uv, feats.desc, feats.level, feats.valid,
