@@ -192,6 +192,35 @@ def load_vocabulary_npz(path: str) -> Vocabulary:
     )
 
 
+def save_orbvoc_text(path: str, voc: Vocabulary) -> None:
+    """Write the upstream ORBvoc.txt text format (DBoW2 text export):
+    header 'k L scoring weighting' then one line per non-root node in
+    node-id order: <parent> <is_leaf> <32 descriptor bytes> <weight>.
+
+    Wire-compatible with TemplatedVocabulary::loadFromTextFile
+    (Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1338) — the loader
+    assigns node ids in line order and word ids in leaf-line order, so
+    emitting nodes in id order round-trips both. Scoring/weighting are
+    fixed to L1-norm (0) and TF-IDF (0), the ORB-SLAM settings.
+    """
+    n = len(voc.node_desc)
+    parent = np.full(n, -1, np.int64)
+    for p in range(n):
+        ch = voc.children[p]
+        parent[ch[ch >= 0]] = p
+    with open(path, "w") as f:
+        f.write(f"{voc.k} {voc.depth} 0 0\n")
+        for i in range(1, n):
+            byts = voc.node_desc[i].view(np.uint8)
+            leaf = int(voc.word_id[i] >= 0)
+            w = float(voc.word_weight[voc.word_id[i]]) if leaf else 0.0
+            f.write(
+                f"{parent[i]} {leaf} "
+                + " ".join(str(int(b)) for b in byts)
+                + f" {w}\n"
+            )
+
+
 def default_vocabulary() -> "Vocabulary | None":
     """The corpus-trained vocabulary shipped with the package (trained by
     scripts/train_default_vocab.py over rendered-scene ORB descriptors),

@@ -73,9 +73,12 @@ def main():
         dt = time.perf_counter() - t1
         if dt > 0.05:
             t_chunks.append((i, dt))
+            print(f"[prof] frame {i}: stalled {dt:.2f}s "
+                  f"(state={fe.tracker.state})", flush=True)
         for fid, ts, T in r:
             if T is None:
                 lost_events.append(fid)
+                print(f"[prof] frame {fid}: LOST", flush=True)
     fe.flush()
     wall = time.perf_counter() - t0
     slam.shutdown()
