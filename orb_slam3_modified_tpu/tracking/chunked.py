@@ -203,9 +203,15 @@ class ChunkedTracker:
             return self._track_slow_impl(img, ts)
 
     def _track_slow_impl(self, img, ts):
+        from ..utils.fetch import fetch
+
         t = self.tracker
         with self.map_lock:
             feats = extract(jnp.asarray(img, jnp.float32), self.ecfg)
+            # materialize ONCE with overlapped transfers: the slow path
+            # reads feature leaves many times (np.asarray per gate/matcher
+            # arg), and each sync read of a device leaf costs a tunnel RTT
+            feats = Features(*fetch(tuple(feats)))
             fid = t.frame_id
             T = t.track(feats, ts)
             from .tracker import OK

@@ -27,7 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cameras import Camera, project
-from ..features.matcher import TH_HIGH, mutual_best_match, resolve_duplicate_targets
+from ..features.matcher import (
+    TH_HIGH,
+    TH_LOW,
+    mutual_best_match,
+    resolve_duplicate_targets,
+)
 from ..lie.se3 import SE3
 from ..optim.pose_opt import pose_optimization
 
@@ -115,17 +120,52 @@ def make_step_body(
         # second pass with refined pose + tight radius picks up more matches
         res2, idx2, keep2 = match_and_optimize(res1.T_cw, 4.0, state.R, state.t)
 
-        n_inl = res2.n_inliers
+        # --- device-side recovery pass (reference analog:
+        # TrackReferenceKeyFrame after TrackWithMotionModel failure,
+        # src/Tracking.cc:1928 region — brute descriptor match, no motion
+        # window). When the windowed passes collapse (motion-model break,
+        # stale prediction), a spatially-unconstrained mutual match against
+        # the cache re-acquires the pose WITHOUT leaving the device — the
+        # host slow-path replay this replaces costs ~1 s/frame in tunnel
+        # round trips. Runs unconditionally (device cost ~tens of us);
+        # result is selected only when the windowed track is weak.
+        idxr, okr, distr = mutual_best_match(
+            cache.desc, cache.valid, f_desc, f_valid,
+            max_dist=TH_LOW, ratio=0.8,
+        )
+        keepr = resolve_duplicate_targets(idxr, okr, distr, feat_cap)
+        inv_s2r = inv_s2_levels[
+            jnp.clip(f_level[idxr], 0, inv_s2_levels.shape[0] - 1)
+        ]
+        resr0 = pose_optimization(
+            T, cam, cache.pos, f_uv[idxr], inv_s2r, rounds, iters, valid=keepr
+        )
+        # polish with a windowed pass from the re-acquired pose
+        resr, idxr2, keepr2 = match_and_optimize(
+            resr0.T_cw, 6.0, state.R, state.t
+        )
+
+        use_rec = (res2.n_inliers < 25) & (resr.n_inliers > res2.n_inliers)
+        n_inl = jnp.where(use_rec, resr.n_inliers, res2.n_inliers)
+        T_sel_R = jnp.where(use_rec, resr.T_cw.R, res2.T_cw.R)
+        T_sel_t = jnp.where(use_rec, resr.T_cw.t, res2.T_cw.t)
+        idx_f = jnp.where(use_rec, idxr2, idx2)
+        good = jnp.where(
+            use_rec, keepr2 & resr.inliers, keep2 & res2.inliers
+        )
         ok = n_inl >= 20
-        R_new = jnp.where(ok, res2.T_cw.R, T_pred.R)
-        t_new = jnp.where(ok, res2.T_cw.t, T_pred.t)
-        # per-feature cache association (invert idx2: feature -> cache entry)
+        R_new = jnp.where(ok, T_sel_R, T_pred.R)
+        t_new = jnp.where(ok, T_sel_t, T_pred.t)
+        # per-feature cache association (invert idx_f: feature -> cache entry)
         obs = jnp.full((feat_cap,), -1, jnp.int32)
-        good = keep2 & res2.inliers
         src = jnp.arange(cache.pos.shape[0], dtype=jnp.int32)
-        obs = obs.at[idx2].max(jnp.where(good, src, -1))
+        obs = obs.at[idx_f].max(jnp.where(good, src, -1))
+        # a recovery jump invalidates the constant-velocity history: zero
+        # the velocity (R_prev = R_new) instead of deriving a bogus one
+        R_prev = jnp.where(use_rec, R_new, state.R)
+        t_prev = jnp.where(use_rec, t_new, state.t)
         new_state = DeviceTrackState(
-            R=R_new, t=t_new, R_prev=state.R, t_prev=state.t, ok=ok
+            R=R_new, t=t_new, R_prev=R_prev, t_prev=t_prev, ok=ok
         )
         out = StepOutput(R_new, t_new, n_inl, obs)
         return new_state, out
