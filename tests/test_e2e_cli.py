@@ -93,7 +93,8 @@ class TestCliConfigs:
         )
         (rmse, s), n = _ate_vs_gt(out, gts, with_scale=True)
         assert n >= 0.7 * N_FRAMES, f"only {n} frames tracked"
-        assert rmse < 0.30, f"mono ATE {rmse:.3f} m"
+        print(f"[gate] mono ATE {rmse:.4f} m scale {s:.4f}")
+        assert rmse < 0.05, f"mono ATE {rmse:.3f} m"
         assert slam.map.n_keyframes() >= 8
 
     def test_stereo(self, loop_sequence, tmp_path):
@@ -112,7 +113,8 @@ class TestCliConfigs:
         )
         (rmse, s), n = _ate_vs_gt(out, gts, with_scale=True)
         assert n >= 60, f"only {n} frames tracked"
-        assert rmse < 0.30, f"stereo ATE {rmse:.3f} m"
+        print(f"[gate] stereo ATE {rmse:.4f} m scale {s:.4f}")
+        assert rmse < 0.05, f"stereo ATE {rmse:.3f} m"
         # the alignment scale gates metricness: mono would be arbitrary
         assert abs(s - 1.0) < 0.15, f"stereo scale off: {s:.3f}"
 
@@ -141,7 +143,8 @@ class TestCliConfigs:
         gt = _gt_centers([gts[i] for i in fids[tail]])
         rmse, s = ate_rmse(est[tail], gt, with_scale=True)
         assert abs(s - 1.0) < 0.15, f"metric scale off: {s:.3f}"
-        assert rmse < 0.30, f"mono-inertial ATE {rmse:.3f} m"
+        print(f"[gate] mono-inertial ATE {rmse:.4f} m scale {s:.4f}")
+        assert rmse < 0.06, f"mono-inertial ATE {rmse:.3f} m"
 
     def test_stereo_inertial(self, loop_sequence, tmp_path):
         """Stereo-inertial: both metric cues active (reference:
@@ -166,7 +169,8 @@ class TestCliConfigs:
         assert tail.sum() >= 40, f"tracked tail too short ({tail.sum()})"
         gt = _gt_centers([gts[i] for i in fids[tail]])
         rmse, s = ate_rmse(est[tail], gt, with_scale=True)
-        assert rmse < 0.30, f"stereo-inertial ATE {rmse:.3f} m"
+        print(f"[gate] stereo-inertial ATE {rmse:.4f} m scale {s:.4f}")
+        assert rmse < 0.04, f"stereo-inertial ATE {rmse:.3f} m"
         assert abs(s - 1.0) < 0.15, f"metric scale off: {s:.3f}"
 
     def test_fisheye(self, tmp_path):
@@ -206,7 +210,8 @@ class TestCliConfigs:
         )
         (rmse, s), n = _ate_vs_gt(out, gts, with_scale=True)
         assert n >= 50, f"only {n} frames tracked"
-        assert rmse < 0.30, f"fisheye ATE {rmse:.3f} m"
+        print(f"[gate] fisheye ATE {rmse:.4f} m scale {s:.4f}")
+        assert rmse < 0.03, f"fisheye ATE {rmse:.3f} m"
 
     def test_fisheye_stereo(self, tmp_path):
         """KB8 STEREO rig through the CLI: Camera2 + Stereo.T_c1_c2 parsed,
@@ -267,7 +272,8 @@ class TestCliConfigs:
         assert slam.cfg.cam_right is not None, "KB8 rig not parsed into config"
         (rmse, s), n = _ate_vs_gt(out, gts, with_scale=True)
         assert n >= 60, f"only {n} frames tracked"
-        assert rmse < 0.30, f"KB8 stereo ATE {rmse:.3f} m"
+        print(f"[gate] KB8 stereo ATE {rmse:.4f} m scale {s:.4f}")
+        assert rmse < 0.10, f"KB8 stereo ATE {rmse:.3f} m"
         # metric gate: the scale must come out of the un-rectified baseline
         assert abs(s - 1.0) < 0.15, f"KB8 stereo scale off: {s:.3f}"
 
@@ -343,4 +349,5 @@ class TestCliConfigs:
         gt = _gt_centers([gts[i] for i in fids[tail]])
         rmse, s = ate_rmse(est[tail], gt, with_scale=True)
         assert abs(s - 1.0) < 0.2, f"metric scale off: {s:.3f}"
-        assert rmse < 0.30, f"real-rig mono-inertial ATE {rmse:.3f} m"
+        print(f"[gate] real-rig mono-inertial ATE {rmse:.4f} m scale {s:.4f}")
+        assert rmse < 0.15, f"real-rig mono-inertial ATE {rmse:.3f} m"
