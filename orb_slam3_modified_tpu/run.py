@@ -38,6 +38,12 @@ def main(argv=None):
     p.add_argument("--chunked", action="store_true",
                    help="chunk-pipelined frontend (mono only; tracking/chunked.py)")
     p.add_argument("--chunk-size", type=int, default=16)
+    p.add_argument("--semantic-out", default=None,
+                   help="write a colored semantic PLY cloud: replays posed "
+                        "frames through the packaged depth+segmentation net "
+                        "(mono_semantic parity, reference README.md:247-267)")
+    p.add_argument("--semantic-stride", type=int, default=8,
+                   help="pixel stride for semantic backprojection")
     args = p.parse_args(argv)
 
     from .cameras import Camera
@@ -196,6 +202,8 @@ def main(argv=None):
     if chunk_fe is not None:
         chunk_fe.flush()
     slam.shutdown()
+    if args.semantic_out:
+        _write_semantic_cloud(args, slam, ds, cam)
     slam.save_trajectory_tum(args.out)
     if args.kf_out:
         slam.save_keyframe_trajectory_tum(args.kf_out)
@@ -207,6 +215,48 @@ def main(argv=None):
     fps = n_done / (time.perf_counter() - t_start)
     print(f"done: {n_done} frames at {fps:.1f} fps")
     return slam
+
+
+def _write_semantic_cloud(args, slam, ds, cam):
+    """mono_semantic parity: SLAM poses + packaged depth/seg net -> colored
+    PLY (reference: mono_semantic main — pose + ZoeDepth + OneFormer ->
+    PCL cloud, README.md:247-267; CloudPoint accumulation src/CloudPoint.cc)."""
+    from .models.depth import default_depth_model, make_depth_fn, make_seg_fn
+    from .recon.cloud import save_ply, semantic_cloud
+
+    model = default_depth_model()
+    if model is None:
+        print("[semantic] no packaged depth model "
+              "(run scripts/train_depth_net.py); skipping", file=sys.stderr)
+        return
+    net, params, meta = model
+    hw = tuple(
+        int(x) for x in meta.get("train_res", "96x128").split("x")
+    )
+    depth_fn = make_depth_fn(net, params, hw)
+    seg_fn = make_seg_fn(net, params, hw)
+    pose_of = {}
+    for ts, fid, T in slam.tracker.absolute_trajectory():
+        pose_of[fid] = T
+    # keyframe-rate replay: every Nth posed frame (the dataset re-iterates)
+    step = max(1, len(ds) // 40)
+    frames = []
+    for i, frame in enumerate(ds):
+        if i in pose_of and i % step == 0:
+            frames.append((np.asarray(frame.image, np.float32), pose_of[i]))
+        if args.max_frames and i >= args.max_frames:
+            break
+    if not frames:
+        print("[semantic] no posed frames; skipping", file=sys.stderr)
+        return
+    colormap = np.array([[40, 40, 200], [90, 200, 90]], np.uint8)  # bg, surface
+    pts, cols = semantic_cloud(
+        cam, frames, depth_fn, seg_fn, colormap,
+        stride=args.semantic_stride, voxel=0.05,
+    )
+    save_ply(args.semantic_out, pts, cols)
+    print(f"[semantic] {len(pts)} points from {len(frames)} frames -> "
+          f"{args.semantic_out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

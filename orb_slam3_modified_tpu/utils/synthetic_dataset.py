@@ -55,6 +55,45 @@ def render_textured_scene(
     return img.reshape(h, w).astype(np.float32)
 
 
+def render_textured_scene_with_depth(
+    T_cw: np.ndarray, cam, texture: np.ndarray,
+    plane_z: float = 6.0, plane_half: float = 12.0, rays_c: np.ndarray = None,
+):
+    """Like render_textured_scene, additionally returning the exact
+    per-pixel camera depth (z in the camera frame; 0 where the ray misses
+    the plane) and the surface mask — ground truth for training the
+    mono-depth/segmentation models (reference role: the depth_estimate/
+    image_segmentation training data the fork's semantic pipeline assumes)."""
+    h, w = cam.height, cam.width
+    if rays_c is None:
+        rays_c = camera_rays(cam)
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    c = -R.T @ t
+    d = rays_c @ R
+    denom = d[:, 2]
+    denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+    s = (plane_z - c[2]) / denom
+    pw = c[None] + s[:, None] * d
+    valid = (
+        (s > 0.1)
+        & (np.abs(pw[:, 0]) < plane_half)
+        & (np.abs(pw[:, 1]) < plane_half)
+    )
+    th, tw = texture.shape
+    pw = np.nan_to_num(pw)
+    tx = np.clip(((pw[:, 0] + plane_half) / (2 * plane_half) * (tw - 1)).astype(np.int32), 0, tw - 1)
+    ty = np.clip(((pw[:, 1] + plane_half) / (2 * plane_half) * (th - 1)).astype(np.int32), 0, th - 1)
+    img = np.where(valid, texture[ty, tx], 20.0)
+    # camera-frame depth: rays_c has z=1 (unit-plane rays), so depth = s
+    depth = np.where(valid, s, 0.0)
+    return (
+        img.reshape(h, w).astype(np.float32),
+        depth.reshape(h, w).astype(np.float32),
+        valid.reshape(h, w),
+    )
+
+
 def orbit_state(t: float, period: float, radius: float, sweep: float,
                 height: float = 0.4, ring: bool = False, ring_z: float = -4.0):
     """Analytic camera/body state for consistent image + IMU synthesis.
