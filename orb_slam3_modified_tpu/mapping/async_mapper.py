@@ -46,7 +46,13 @@ class AsyncLocalMapper:
         self.queue.put((int(k), int(self.mapper.map.kf_frame_id[k])))
 
     def busy(self) -> bool:
-        return not self.queue.empty() or self.queue.unfinished_tasks > 0
+        """Backlogged, not merely working: with a continuous keyframe stream
+        the worker is almost always mid-cycle, and reporting busy then
+        suppresses the tracked-ratio keyframe trigger for whole chunks
+        (reference gate: bLocalMappingIdle only blocks insertion when the
+        mapper actually has a QUEUE, src/Tracking.cc:3099 region — an
+        in-progress cycle still accepts interrupts)."""
+        return self.queue.qsize() >= 2
 
     def _run(self):
         while not self._stop:

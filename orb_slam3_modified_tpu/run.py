@@ -36,7 +36,8 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--no-loop", action="store_true")
     p.add_argument("--chunked", action="store_true",
-                   help="chunk-pipelined frontend (mono only; tracking/chunked.py)")
+                   help="chunk-pipelined frontend (mono or rectified stereo; "
+                        "tracking/chunked.py)")
     p.add_argument("--chunk-size", type=int, default=16)
     p.add_argument("--semantic-out", default=None,
                    help="write a colored semantic PLY cloud: replays posed "
@@ -159,8 +160,10 @@ def main(argv=None):
         return acc, gyro, dts
 
     chunk_fe = None
-    if args.chunked and args.sensor == "mono":
-        chunk_fe = slam.make_chunked_frontend(chunk=args.chunk_size, lag=1)
+    if args.chunked and args.sensor in ("mono", "stereo"):
+        chunk_fe = slam.make_chunked_frontend(
+            chunk=args.chunk_size, lag=1, stereo=args.sensor == "stereo"
+        )
 
     n_done = 0
     prev_imu_ts = None
@@ -178,7 +181,13 @@ def main(argv=None):
                 # device-side rectification remap (reference: Settings
                 # precomputeRectificationMaps + cv::remap per frame)
                 img, img_r = rect.remap(img, img_r)
-            slam.track_stereo(img, img_r, frame.ts, imu_samples=samples)
+            if chunk_fe is not None:
+                chunk_fe.track_image(
+                    np.asarray(img, np.uint8), frame.ts,
+                    img_right=np.asarray(img_r, np.uint8),
+                )
+            else:
+                slam.track_stereo(img, img_r, frame.ts, imu_samples=samples)
         elif args.sensor == "rgbd" and frame.depth is not None:
             slam.track_rgbd(img, jnp.asarray(frame.depth), frame.ts)
         elif args.sensor == "mono-imu":

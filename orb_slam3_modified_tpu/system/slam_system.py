@@ -329,7 +329,8 @@ class SlamSystem:
                 self.closer.on_keyframe(k)
 
     def make_chunked_frontend(self, chunk: int = 16, lag: int = 1,
-                              async_mapping: bool = True):
+                              async_mapping: bool = True,
+                              stereo: bool = False):
         """Chunk-pipelined image frontend (tracking/chunked.py): one device
         dispatch extracts + tracks `chunk` frames, and keyframe processing
         (local mapping -> loop closing, reference pipeline order) moves to a
@@ -357,7 +358,8 @@ class SlamSystem:
                 self.closer.map_lock = am.lock
                 self.closer.cfg.gba_async = True
         return ChunkedTracker(
-            self.tracker, self.ecfg, chunk=chunk, lag=lag, map_lock=lock
+            self.tracker, self.ecfg, chunk=chunk, lag=lag, map_lock=lock,
+            stereo=stereo, min_z=self.cfg.min_depth,
         )
 
     def _handle_loss(self):

@@ -33,7 +33,13 @@ from ..features.extractor import ExtractorConfig, Features, extract, extract_bat
 from ..lie.se3 import SE3
 from ..slam_map.map_state import NO_POINT
 from ..utils.timing import TimeStats
-from .fused import CACHE_CAP, DeviceTrackState, MapCache, make_step_body
+from .fused import (
+    CACHE_CAP,
+    DeviceTrackState,
+    MapCache,
+    StepOutput,
+    make_step_body,
+)
 
 
 def make_chunk_step(cam, inv_s2_levels, ecfg: ExtractorConfig, rounds=3, iters=6):
@@ -55,10 +61,59 @@ def make_chunk_step(cam, inv_s2_levels, ecfg: ExtractorConfig, rounds=3, iters=6
     return chunk_step
 
 
-class _PendingChunk:
-    __slots__ = ("fids", "tss", "n_valid", "outs", "feats", "cache_ids", "imgs")
+def make_chunk_step_stereo(
+    cam, inv_s2_levels, ecfg: ExtractorConfig, bf: float, min_z: float,
+    rounds=3, iters=6,
+):
+    """Jitted stereo chunk: (state, cache, imgs_l (K,H,W), imgs_r (K,H,W)) ->
+    (state', outputs, LEFT Features, ur (K,F), depth (K,F)).
 
-    def __init__(self, fids, tss, n_valid, outs, feats, cache_ids, imgs):
+    Both pyramids extract in ONE batched dispatch (reference: parallel L/R
+    extraction threads, src/Frame.cc:122-123 — here a 2K-image batch), then
+    the per-frame scan row-band matches left->right (ComputeStereoMatches
+    parity, src/Frame.cc:811) and tracks with (u, v, uR) stereo rows."""
+    from ..ops.stereo_match import match_stereo
+
+    bf = float(bf)
+    min_z = float(min_z)
+    body = make_step_body(
+        cam, inv_s2_levels, ecfg.n_features, rounds, iters, bf=bf
+    )
+
+    @jax.jit
+    def chunk_step(state: DeviceTrackState, cache: MapCache, imgs_l, imgs_r):
+        K = imgs_l.shape[0]
+        both = jnp.concatenate([imgs_l, imgs_r]).astype(jnp.float32)
+        fb = extract_batch(both, ecfg)
+        feats_l = Features(*[leaf[:K] for leaf in fb])
+        feats_r = Features(*[leaf[K:] for leaf in fb])
+
+        def scan_body(s, fr):
+            f, g = fr
+            u_r, depth, ok = match_stereo(
+                f.uv, f.desc, f.level, f.valid,
+                g.uv, g.desc, g.level, g.valid,
+                bf=bf, min_z=min_z,
+            )
+            ur = jnp.where(ok, u_r, -1.0)
+            depth = jnp.where(ok, depth, -1.0)
+            s2, out = body(s, cache, f.uv, f.desc, f.level, f.valid, ur)
+            return s2, (out, ur, depth)
+
+        state2, (outs, urs, depths) = jax.lax.scan(
+            scan_body, state, (feats_l, feats_r)
+        )
+        return state2, outs, feats_l, urs, depths
+
+    return chunk_step
+
+
+class _PendingChunk:
+    __slots__ = ("fids", "tss", "n_valid", "outs", "feats", "cache_ids",
+                 "imgs", "imgs_r", "urs", "depths")
+
+    def __init__(self, fids, tss, n_valid, outs, feats, cache_ids, imgs,
+                 imgs_r=None, urs=None, depths=None):
         self.fids = fids
         self.tss = tss
         self.n_valid = n_valid
@@ -66,6 +121,9 @@ class _PendingChunk:
         self.feats = feats
         self.cache_ids = cache_ids
         self.imgs = imgs  # host copies, for slow-path replay after a loss
+        self.imgs_r = imgs_r  # right images (stereo mode)
+        self.urs = urs  # (K, F) right-u per feature (stereo mode)
+        self.depths = depths  # (K, F) stereo depth per feature
 
 
 class ChunkedTracker:
@@ -85,6 +143,8 @@ class ChunkedTracker:
         map_lock=None,
         rounds: int = 3,
         iters: int = 6,
+        stereo: bool = False,
+        min_z: float = 0.3,
     ):
         self.tracker = tracker
         self.cfg = tracker.cfg
@@ -94,8 +154,10 @@ class ChunkedTracker:
         self.map_lock = map_lock or threading.Lock()
         self.rounds = rounds
         self.iters = iters
+        self.stereo = stereo
+        self.min_z = min_z
         self._step = None
-        self._buf = []  # [(fid, ts, img_u8)]
+        self._buf = []  # [(fid, ts, img_u8 host, img device)]
         self._pending: deque[_PendingChunk] = deque()
         self.state: DeviceTrackState | None = None
         self.cache: MapCache | None = None
@@ -115,16 +177,28 @@ class ChunkedTracker:
 
     # ------------------------------------------------------------- cache
     def refresh_cache(self):
-        """Rebuild the device point cache from the current local map."""
+        """Rebuild the device point cache from the current local map.
+
+        While the whole map fits the device budget the cache IS the map —
+        covis-window selection only matters once the arena outgrows
+        CACHE_CAP. This removes the failure mode where a stale ref-keyframe
+        window starves the frontier of candidate points (the in-step
+        recovery pass can then always re-acquire against everything)."""
         t = self.tracker
         m = t.map
         k = t.ref_kf
         if k < 0 or not m.kf_valid[k]:
             return
-        window = [k] + [int(x) for x in m.best_covisible(k, 10, min_weight=5)]
-        obs = m.kf_obs[window]
-        mp = np.unique(obs[obs >= 0])
-        mp = mp[m.mp_valid[mp]][:CACHE_CAP]
+        all_mp = m.point_indices()
+        if len(all_mp) <= CACHE_CAP:
+            mp = all_mp
+        else:
+            window = [k] + [
+                int(x) for x in m.best_covisible(k, 10, min_weight=5)
+            ]
+            obs = m.kf_obs[window]
+            mp = np.unique(obs[obs >= 0])
+            mp = mp[m.mp_valid[mp]][:CACHE_CAP]
         n = len(mp)
         pos = np.zeros((CACHE_CAP, 3), np.float32)
         desc = np.zeros((CACHE_CAP, 8), np.uint32)
@@ -152,8 +226,9 @@ class ChunkedTracker:
         )
 
     # -------------------------------------------------------------- track
-    def track_image(self, img, ts: float):
-        """img: (H, W) uint8 (or float castable). Returns retired frames."""
+    def track_image(self, img, ts: float, img_right=None):
+        """img: (H, W) uint8 (or float castable); img_right required in
+        stereo mode. Returns retired frames."""
         from .tracker import OK
 
         t = self.tracker
@@ -161,9 +236,27 @@ class ChunkedTracker:
         if t.state != OK or t.ref_kf < 0:
             # make sure everything dispatched/buffered lands first
             retired += self.flush()
-            retired.append(self._track_slow(np.asarray(img), ts))
+            retired.append(
+                self._track_slow(
+                    np.asarray(img), ts,
+                    None if img_right is None else np.asarray(img_right),
+                )
+            )
             return retired
-        self._buf.append((t.frame_id, ts, np.asarray(img, np.uint8)))
+        img_h = np.asarray(img, np.uint8)
+        # start this frame's upload NOW: a 16-frame uint8 batch is ~6 MB,
+        # and shoving it through the device link at the chunk boundary
+        # blocks ~1 s (measured ~5-15 MB/s on the tunneled chip). Staggering
+        # one ~360 KB transfer per frame overlaps upload with the previous
+        # chunk's compute and the link is never burst-saturated.
+        with self.stats.measure("upload"):
+            img_d = jax.device_put(img_h)
+            if self.stereo:
+                imgr_h = np.asarray(img_right, np.uint8)
+                imgr_d = jax.device_put(imgr_h)
+            else:
+                imgr_h = imgr_d = None
+        self._buf.append((t.frame_id, ts, img_h, img_d, imgr_h, imgr_d))
         t.frame_id += 1
         if len(self._buf) >= self.chunk:
             self._dispatch_buffer()
@@ -181,13 +274,17 @@ class ChunkedTracker:
             replay = []
             while self._pending:
                 q = self._pending.popleft()
-                replay += [(q.fids[i], q.tss[i], q.imgs[i]) for i in range(q.n_valid)]
-            replay += self._buf
+                replay += [
+                    (q.fids[i], q.tss[i], q.imgs[i],
+                     None if q.imgs_r is None else q.imgs_r[i])
+                    for i in range(q.n_valid)
+                ]
+            replay += [(b[0], b[1], b[2], b[4]) for b in self._buf]
             self._buf = []
             results = []
-            for fid, ts, img in replay:
+            for fid, ts, img, img_r in replay:
                 t.frame_id = fid
-                results.append(self._track_slow(img, ts))
+                results.append(self._track_slow(img, ts, img_r))
             return results
         retired = []
         if self._buf:
@@ -197,23 +294,46 @@ class ChunkedTracker:
         return retired
 
     # ------------------------------------------------------------ internal
-    def _track_slow(self, img, ts):
+    def _track_slow(self, img, ts, img_r=None):
         """Per-frame slow path (init / reloc / recovery)."""
         with self.stats.measure("slow_path"):
-            return self._track_slow_impl(img, ts)
+            return self._track_slow_impl(img, ts, img_r)
 
-    def _track_slow_impl(self, img, ts):
+    def _track_slow_impl(self, img, ts, img_r=None):
         from ..utils.fetch import fetch
 
         t = self.tracker
         with self.map_lock:
-            feats = extract(jnp.asarray(img, jnp.float32), self.ecfg)
-            # materialize ONCE with overlapped transfers: the slow path
-            # reads feature leaves many times (np.asarray per gate/matcher
-            # arg), and each sync read of a device leaf costs a tunnel RTT
-            feats = Features(*fetch(tuple(feats)))
+            depth = ur = None
+            if self.stereo and img_r is not None:
+                from ..ops.stereo_match import match_stereo
+
+                fb = extract_batch(
+                    jnp.stack(
+                        [jnp.asarray(img, jnp.float32),
+                         jnp.asarray(img_r, jnp.float32)]
+                    ),
+                    self.ecfg,
+                )
+                feats = Features(*[leaf[0] for leaf in fb])
+                feats_r = Features(*[leaf[1] for leaf in fb])
+                u_r, d, ok = match_stereo(
+                    feats.uv, feats.desc, feats.level, feats.valid,
+                    feats_r.uv, feats_r.desc, feats_r.level, feats_r.valid,
+                    bf=self.cfg.bf, min_z=self.min_z,
+                )
+                feats, u_r, d, ok = fetch((tuple(feats), u_r, d, ok))
+                feats = Features(*feats)
+                ur = np.where(ok, u_r, -1.0).astype(np.float32)
+                depth = np.where(ok, d, -1.0).astype(np.float32)
+            else:
+                feats = extract(jnp.asarray(img, jnp.float32), self.ecfg)
+                # materialize ONCE with overlapped transfers: the slow path
+                # reads feature leaves many times (np.asarray per matcher
+                # arg), and each sync device read costs a tunnel RTT
+                feats = Features(*fetch(tuple(feats)))
             fid = t.frame_id
-            T = t.track(feats, ts)
+            T = t.track(feats, ts, depth=depth, ur=ur)
             from .tracker import OK
 
             if t.state == OK:
@@ -232,36 +352,62 @@ class ChunkedTracker:
             self.refresh_cache()
             self._sync_state_from_tracker()
         if self._step is None:
-            self._step = make_chunk_step(
-                self.cfg.cam,
-                self.cfg.inv_level_sigma2(),
-                self.ecfg,
-                self.rounds,
-                self.iters,
-            )
+            if self.stereo:
+                self._step = make_chunk_step_stereo(
+                    self.cfg.cam, self.cfg.inv_level_sigma2(), self.ecfg,
+                    self.cfg.bf, self.min_z, self.rounds, self.iters,
+                )
+            else:
+                self._step = make_chunk_step(
+                    self.cfg.cam,
+                    self.cfg.inv_level_sigma2(),
+                    self.ecfg,
+                    self.rounds,
+                    self.iters,
+                )
         fids = [b[0] for b in self._buf]
         tss = [b[1] for b in self._buf]
         imgs = [b[2] for b in self._buf]
+        imgs_d = [b[3] for b in self._buf]
+        imgs_r = [b[4] for b in self._buf]
+        imgs_rd = [b[5] for b in self._buf]
         n_valid = len(imgs)
-        while len(imgs) < self.chunk:  # tail padding; padded outputs ignored
-            imgs.append(imgs[-1])
-        batch = np.stack(imgs)
+        while len(imgs_d) < self.chunk:  # tail padding; padded outputs ignored
+            imgs_d.append(imgs_d[-1])
+            imgs_rd.append(imgs_rd[-1])
+        urs = depths = None
         with self.stats.measure("dispatch"):
-            self.state, outs, feats = self._step(
-                self.state, self.cache, jnp.asarray(batch)
-            )
+            # frames were device_put one at a time as they arrived; stacking
+            # them is a device-side op, no host bytes move here
+            if self.stereo:
+                self.state, outs, feats, urs, depths = self._step(
+                    self.state, self.cache, jnp.stack(imgs_d),
+                    jnp.stack(imgs_rd),
+                )
+            else:
+                self.state, outs, feats = self._step(
+                    self.state, self.cache, jnp.stack(imgs_d)
+                )
         # start moving the tiny outputs AND the chunk's features home;
         # consumed a chunk later. Prefetching every frame's features (~1 MB
         # per 16-frame chunk) costs ~20 ms of h2d-overlapped bandwidth and
         # makes keyframe creation at retire time a pure host operation —
         # fetching per keyframe on demand paid a full tunnel RTT each time.
-        for leaf in (outs.R, outs.t, outs.n_inliers, outs.obs_cache_idx) + tuple(feats):
+        extra = () if urs is None else (urs, depths)
+        for leaf in (
+            (outs.R, outs.t, outs.n_inliers, outs.obs_cache_idx)
+            + tuple(feats) + extra
+        ):
             try:
                 leaf.copy_to_host_async()
             except Exception:
                 pass
         self._pending.append(
-            _PendingChunk(fids, tss, n_valid, outs, feats, self.cache_ids, imgs)
+            _PendingChunk(
+                fids, tss, n_valid, outs, feats, self.cache_ids, imgs,
+                imgs_r=imgs_r if self.stereo else None,
+                urs=urs, depths=depths,
+            )
         )
         self._buf = []
 
@@ -294,16 +440,28 @@ class ChunkedTracker:
         m = t.map
         cfg = self.cfg
         with self.stats.measure("retire_sync"):
-            R_all = np.asarray(p.outs.R)
-            t_all = np.asarray(p.outs.t)
-            n_inl_all = np.asarray(p.outs.n_inliers)
-            obs_cache_all = np.asarray(p.outs.obs_cache_idx)
-            # materialize the whole chunk's features once (async-copied at
-            # dispatch time): per-frame records below are cheap numpy views
+            # materialize everything once (async-copied at dispatch time):
+            # per-frame records below are cheap numpy views
+            p.outs = StepOutput(*[np.asarray(leaf) for leaf in p.outs])
             p.feats = Features(*[np.asarray(leaf) for leaf in p.feats])
+            if p.urs is not None:
+                p.urs = np.asarray(p.urs)
+                p.depths = np.asarray(p.depths)
         results = []
+        with self.stats.measure("retire_host"):
+            return self._retire_frames(p, results)
+
+    def _retire_frames(self, p, results):
+        from .tracker import RECENTLY_LOST, FrameRecord
+
+        t = self.tracker
+        m = t.map
+        cfg = self.cfg
+        R_all, t_all, n_inl_all, obs_cache_all = p.outs
         for i in range(p.n_valid):
             fid, ts = p.fids[i], p.tss[i]
+            ur_i = None if p.urs is None else p.urs[i]
+            d_i = None if p.depths is None else p.depths[i]
             n_inl = int(n_inl_all[i])
             R, tt = R_all[i], t_all[i]
             T = SE3(R, tt)
@@ -312,25 +470,49 @@ class ChunkedTracker:
             obs_mp[hit] = p.cache_ids[obs_cache_all[i][hit]]
             stale = (obs_mp != NO_POINT) & ~m.mp_valid[np.maximum(obs_mp, 0)]
             obs_mp[stale] = NO_POINT
-            T_abs = np.asarray(T.matrix())
+            # pure-numpy 4x4 (SE3.matrix() is jnp-backed: calling it here
+            # costs a device round trip PER FRAME while the chip is busy
+            # with the next chunk — measured ~50 ms each, the whole
+            # retire-loop budget)
+            T_abs = np.eye(4)
+            T_abs[:3, :3] = R
+            T_abs[:3, 3] = tt
             if n_inl < cfg.min_inliers_local:
                 self._low_streak += 1
             else:
                 self._low_streak = 0
-            if n_inl < self.hard_floor or self._low_streak >= self.low_streak_limit:
+            if n_inl < self.hard_floor:
                 # tracking lost mid-chunk: replay the remainder (this chunk,
                 # all later pending chunks) through the per-frame slow path
                 self._low_streak = 0
                 t.state = RECENTLY_LOST
                 t.last = FrameRecord(
-                    self._fetch_features(p.feats, i), T, obs_mp, ts, fid
+                    self._fetch_features(p.feats, i), T, obs_mp, ts, fid,
+                    depth=d_i, ur=ur_i,
                 )
                 self.state = None
                 self.cache = None
                 results.append((fid, ts, None))
                 results += self._replay_after_loss(p, i + 1)
                 return results
-            rec = FrameRecord(self._lazy_features(p.feats, i), T, obs_mp, ts, fid)
+            # a sagging-but-alive streak means the cache went stale faster
+            # than the keyframe policy reacted (mapper lag, view frontier):
+            # force a keyframe + cache refresh and STAY on the fast path —
+            # a slow-path replay here costs ~0.35 s/frame in link round
+            # trips and fixes nothing the new keyframe doesn't
+            # one forced keyframe per streak, with a longer cooldown than
+            # the normal policy: a weak keyframe still seeds triangulation
+            # from its ~hundreds of free features, but forcing one every
+            # min_frames floods the mapper and spirals (measured)
+            force_kf = (
+                self._low_streak >= self.low_streak_limit
+                and n_inl >= 15
+                and t.frames_since_kf + 1 >= 2 * cfg.min_frames_between_kf
+            )
+            if force_kf:
+                self._low_streak = 0
+            rec = FrameRecord(self._lazy_features(p.feats, i), T, obs_mp,
+                              ts, fid, depth=d_i, ur=ur_i)
             if t.last is not None:
                 R_l = np.asarray(t.last.T_cw.R)
                 t_l = np.asarray(t.last.T_cw.t)
@@ -351,10 +533,11 @@ class ChunkedTracker:
                 )
             else:
                 t.trajectory.append((ts, fid, -1, -1, T_abs, T_abs))
-            if t._need_new_keyframe(n_inl):
+            if force_kf or t._need_new_keyframe(n_inl):
                 with self.stats.measure("keyframe"):
                     rec = FrameRecord(
-                        self._fetch_features(p.feats, i), T, obs_mp, ts, fid
+                        self._fetch_features(p.feats, i), T, obs_mp, ts, fid,
+                        depth=d_i, ur=ur_i,
                     )
                     t.last = rec
                     T_pre = np.eye(4)
@@ -397,13 +580,22 @@ class ChunkedTracker:
         """Feed frames after a mid-chunk loss back through the slow path."""
         t = self.tracker
         results = []
-        replay = [(p.fids[i], p.tss[i], p.imgs[i]) for i in range(start, p.n_valid)]
+        def right(q, i):
+            return None if q.imgs_r is None else q.imgs_r[i]
+
+        replay = [
+            (p.fids[i], p.tss[i], p.imgs[i], right(p, i))
+            for i in range(start, p.n_valid)
+        ]
         while self._pending:
             q = self._pending.popleft()
-            replay += [(q.fids[i], q.tss[i], q.imgs[i]) for i in range(q.n_valid)]
-        replay += self._buf
+            replay += [
+                (q.fids[i], q.tss[i], q.imgs[i], right(q, i))
+                for i in range(q.n_valid)
+            ]
+        replay += [(b[0], b[1], b[2], b[4]) for b in self._buf]
         self._buf = []
-        for fid, ts, img in replay:
+        for fid, ts, img, img_r in replay:
             t.frame_id = fid  # keep original frame ids through the replay
-            results.append(self._track_slow(img, ts))
+            results.append(self._track_slow(img, ts, img_r))
         return results

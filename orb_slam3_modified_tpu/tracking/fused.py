@@ -62,12 +62,18 @@ class StepOutput(NamedTuple):
 
 
 def make_step_body(
-    cam: Camera, inv_s2_levels, feat_cap: int, rounds: int = 4, iters: int = 8
+    cam: Camera, inv_s2_levels, feat_cap: int, rounds: int = 4, iters: int = 8,
+    bf: float = 0.0,
 ):
     """Pure (state, cache, features) -> (state, out) step, shared by the
     per-frame jit (make_track_step) and the chunked lax.scan pipeline
-    (tracking/chunked.py)."""
+    (tracking/chunked.py).
+
+    bf > 0 enables rectified-stereo residual rows: callers pass per-feature
+    right-image u (f_ur, <0 = mono row) and the pose solves use the
+    reference's (u, v, uR) EdgeStereo rows (src/Optimizer.cc EdgeStereo)."""
     inv_s2_levels = jnp.asarray(inv_s2_levels)
+    bf = float(bf)  # static: may arrive as a jnp scalar (cfg.bf = b * cam.fx)
 
     def track_step(
         state: DeviceTrackState,
@@ -76,6 +82,7 @@ def make_step_body(
         f_desc,
         f_level,
         f_valid,
+        f_ur=None,
     ):
         # --- constant-velocity prediction: T_pred = (T T_prev^-1) T
         T = SE3(state.R, state.t)
@@ -112,7 +119,9 @@ def make_step_body(
             uv_obs = f_uv[idx]
             inv_s2 = inv_s2_levels[jnp.clip(f_level[idx], 0, inv_s2_levels.shape[0] - 1)]
             res = pose_optimization(
-                T_init, cam, pts, uv_obs, inv_s2, rounds, iters, valid=keep
+                T_init, cam, pts, uv_obs, inv_s2, rounds, iters, valid=keep,
+                ur_obs=None if (f_ur is None or bf <= 0) else f_ur[idx],
+                bf=None if (f_ur is None or bf <= 0) else jnp.float32(bf),
             )
             return res, idx, keep
 
@@ -138,7 +147,9 @@ def make_step_body(
             jnp.clip(f_level[idxr], 0, inv_s2_levels.shape[0] - 1)
         ]
         resr0 = pose_optimization(
-            T, cam, cache.pos, f_uv[idxr], inv_s2r, rounds, iters, valid=keepr
+            T, cam, cache.pos, f_uv[idxr], inv_s2r, rounds, iters, valid=keepr,
+            ur_obs=None if (f_ur is None or bf <= 0) else f_ur[idxr],
+            bf=None if (f_ur is None or bf <= 0) else jnp.float32(bf),
         )
         # polish with a windowed pass from the re-acquired pose
         resr, idxr2, keepr2 = match_and_optimize(
@@ -311,7 +322,10 @@ class FusedTracker:
         # points may have been culled/fused since this frame was dispatched
         stale = (obs_mp != NO_POINT) & ~t.map.mp_valid[np.maximum(obs_mp, 0)]
         obs_mp[stale] = NO_POINT
-        T_abs = np.asarray(T.matrix())
+        # numpy 4x4 (SE3.matrix() is jnp-backed -> device round trip)
+        T_abs = np.eye(4)
+        T_abs[:3, :3] = R
+        T_abs[:3, 3] = tt
         if n_inl < self.cfg.min_inliers_local:
             # fall back to the full tracker on the next frame
             t.state = RECENTLY_LOST

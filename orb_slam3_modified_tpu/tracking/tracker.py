@@ -67,7 +67,7 @@ class TrackerConfig:
     min_matches_init: int = 100  # reference: mvIniMatches >= 100
     min_inliers_track: int = 10  # reference: nmatchesMap >= 10
     min_inliers_local: int = 30  # reference: mnMatchesInliers < 30 -> lost
-    max_frames_between_kf: int = 10  # reference mMaxFrames ~ fps; tightened
+    max_frames_between_kf: int = 20  # reference mMaxFrames = fps (20 on EuRoC)
     min_frames_between_kf: int = 3  # reference mMinFrames
     # keep creating keyframes on IMU-predicted poses while RECENTLY_LOST
     # (reference: mInsertKFsLost, include/Tracking.h:300; YAML
@@ -178,7 +178,10 @@ class Tracker:
         else:  # LOST — handled by Atlas (new map); keep trying reloc-free
             T = None
         if T is not None:
-            T_abs = np.asarray(T.matrix())
+            # numpy 4x4 (SE3.matrix() is jnp-backed -> device round trip)
+            T_abs = np.eye(4)
+            T_abs[:3, :3] = np.asarray(T.R)
+            T_abs[:3, 3] = np.asarray(T.t)
             ref = self.ref_kf
             if ref >= 0 and self.map.kf_valid[ref]:
                 T_kw = np.eye(4, dtype=np.float64)
