@@ -21,6 +21,11 @@ import numpy as np
 
 NO_POINT = -1
 
+# byte-popcount lookup for vectorized medoid descriptors
+_POPCOUNT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int32)
+
 
 @dataclasses.dataclass
 class MapState:
@@ -361,37 +366,65 @@ class MapState:
         slots_s = slots_all[order]
         bounds = np.searchsorted(mps_s, mp_idx)
         bounds_hi = np.searchsorted(mps_s, mp_idx, side="right")
-        for m, lo, hi in zip(mp_idx, bounds, bounds_hi):
-            ks, slots = ks_s[lo:hi], slots_s[lo:hi]
-            if len(ks) == 0:
-                continue
-            centers = -np.einsum("kji,kj->ki", self.kf_R[ks], self.kf_t[ks])
-            vec = self.mp_pos[m][None] - centers
-            norms = np.linalg.norm(vec, axis=-1)
-            good = norms > 1e-9
-            if good.any():
-                n = (vec[good] / norms[good, None]).mean(axis=0)
-                nn = np.linalg.norm(n)
-                if nn > 1e-9:
-                    self.mp_normal[m] = n / nn
-            # distinctive descriptor: min median hamming to the others
-            descs = self.kf_desc[ks, slots]
-            if len(descs) == 1:
-                self.mp_desc[m] = descs[0]
-            else:
-                x = descs[:, None, :] ^ descs[None, :, :]
-                d = np.unpackbits(x.view(np.uint8), axis=-1).sum(axis=-1)
-                med = np.median(d, axis=1)
-                self.mp_desc[m] = descs[int(np.argmin(med))]
-            # scale-invariance distances from the reference kf's octave
-            k_ref, slot_ref = ks[-1], slots[-1]
-            center_ref = -self.kf_R[k_ref].T @ self.kf_t[k_ref]
-            dist = np.linalg.norm(self.mp_pos[m] - center_ref)
-            level = int(self.kf_level[k_ref, slot_ref])
-            sf = scale_factors[level]
-            n_levels = len(scale_factors)
-            self.mp_max_dist[m] = dist * sf
-            self.mp_min_dist[m] = self.mp_max_dist[m] / scale_factors[n_levels - 1]
+        # fully vectorized over points (the per-point python loop cost
+        # ~100 ms/keyframe under the map lock): groups are contiguous in
+        # the sorted inversion, so segment ops cover normals/medoids/scale
+        sizes = bounds_hi - bounds
+        nz = sizes > 0
+        if not nz.any():
+            return
+        m_nz = mp_idx[nz]
+        lo, sz = bounds[nz], sizes[nz]
+        hi = bounds_hi[nz]
+        # --- normals: mean of unit (point - center) over observers
+        centers_s = -np.einsum(
+            "kji,kj->ki", self.kf_R[ks_s], self.kf_t[ks_s]
+        )
+        vec = self.mp_pos[mps_s] - centers_s
+        norms = np.linalg.norm(vec, axis=-1, keepdims=True)
+        unit = np.where(norms > 1e-9, vec / np.maximum(norms, 1e-12), 0.0)
+        sums = np.add.reduceat(unit, lo, axis=0)
+        snorm = np.linalg.norm(sums, axis=-1, keepdims=True)
+        good_n = snorm[:, 0] > 1e-9
+        self.mp_normal[m_nz[good_n]] = (
+            sums[good_n] / snorm[good_n]
+        ).astype(self.mp_normal.dtype)
+        # --- distinctive descriptor: min-median-Hamming medoid (reference
+        # ComputeDistinctiveDescriptors). Observer sets are padded to a
+        # common width (capped at 32 — beyond that the medoid of a sample
+        # is statistically the medoid) by repeating the last observer;
+        # padded entries are masked out of the median.
+        S = int(min(max(sz.max(), 1), 32))
+        col = np.minimum(np.arange(S)[None, :], (sz - 1)[:, None])
+        gather = lo[:, None] + col  # (N, S)
+        descs = self.kf_desc[ks_s[gather], slots_s[gather]]  # (N, S, 8)
+        byts = descs.view(np.uint8).reshape(len(m_nz), S, 32)
+        x = byts[:, :, None, :] ^ byts[:, None, :, :]  # (N, S, S, 32)
+        d = _POPCOUNT_LUT[x].sum(-1, dtype=np.int32)  # (N, S, S)
+        col_valid = np.arange(S)[None, :] < np.minimum(sz, S)[:, None]
+        d = np.where(col_valid[:, None, :], d, 1 << 20)
+        d_sorted = np.sort(d, axis=2)
+        n_eff = np.minimum(sz, S)
+        a_i = ((n_eff - 1) // 2)[:, None, None]
+        b_i = (n_eff // 2)[:, None, None]
+        med = 0.5 * (
+            np.take_along_axis(d_sorted, np.broadcast_to(a_i, (len(m_nz), S, 1)), 2)[..., 0]
+            + np.take_along_axis(d_sorted, np.broadcast_to(b_i, (len(m_nz), S, 1)), 2)[..., 0]
+        )
+        med = np.where(col_valid, med, np.inf)
+        best = np.argmin(med, axis=1)
+        self.mp_desc[m_nz] = descs[np.arange(len(m_nz)), best]
+        # --- scale-invariance range from the last (reference) observer
+        k_ref, slot_ref = ks_s[hi - 1], slots_s[hi - 1]
+        center_ref = -np.einsum(
+            "kji,kj->ki", self.kf_R[k_ref], self.kf_t[k_ref]
+        )
+        dist = np.linalg.norm(self.mp_pos[m_nz] - center_ref, axis=-1)
+        sf = scale_factors[self.kf_level[k_ref, slot_ref]]
+        self.mp_max_dist[m_nz] = dist * sf
+        self.mp_min_dist[m_nz] = (
+            self.mp_max_dist[m_nz] / scale_factors[len(scale_factors) - 1]
+        )
 
     def _observers_slots(self, m: int):
         ks, slots = np.where(self.kf_obs == m)

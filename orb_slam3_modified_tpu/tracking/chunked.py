@@ -577,9 +577,16 @@ class ChunkedTracker:
         self.state = DeviceTrackState(R1, t1, R0, t0, self.state.ok)
 
     def _replay_after_loss(self, p: _PendingChunk, start: int):
-        """Feed frames after a mid-chunk loss back through the slow path."""
+        """Feed frames after a mid-chunk loss back through the slow path —
+        but ONLY until the tracker recovers. Each slow frame costs ~0.5-1 s
+        of link round trips; once state is OK again (usually 1-2 frames)
+        the remaining buffered frames re-enter the fast path as a fresh
+        chunk (their uploads are re-staggered from the kept host copies)."""
+        from .tracker import OK
+
         t = self.tracker
         results = []
+
         def right(q, i):
             return None if q.imgs_r is None else q.imgs_r[i]
 
@@ -595,7 +602,14 @@ class ChunkedTracker:
             ]
         replay += [(b[0], b[1], b[2], b[4]) for b in self._buf]
         self._buf = []
-        for fid, ts, img, img_r in replay:
+        for j, (fid, ts, img, img_r) in enumerate(replay):
+            if t.state == OK and t.ref_kf >= 0 and j > 0:
+                # recovered: hand the remainder back to the fast path
+                for fid2, ts2, img2, img_r2 in replay[j:]:
+                    t.frame_id = fid2
+                    results += self.track_image(img2, ts2, img_right=img_r2)
+                    t.frame_id = max(t.frame_id, fid2 + 1)
+                return results
             t.frame_id = fid  # keep original frame ids through the replay
             results.append(self._track_slow(img, ts, img_r))
         return results

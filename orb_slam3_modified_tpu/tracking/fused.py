@@ -136,33 +136,47 @@ def make_step_body(
         # stale prediction), a spatially-unconstrained mutual match against
         # the cache re-acquires the pose WITHOUT leaving the device — the
         # host slow-path replay this replaces costs ~1 s/frame in tunnel
-        # round trips. Runs unconditionally (device cost ~tens of us);
-        # result is selected only when the windowed track is weak.
-        idxr, okr, distr = mutual_best_match(
-            cache.desc, cache.valid, f_desc, f_valid,
-            max_dist=TH_LOW, ratio=0.8,
-        )
-        keepr = resolve_duplicate_targets(idxr, okr, distr, feat_cap)
-        inv_s2r = inv_s2_levels[
-            jnp.clip(f_level[idxr], 0, inv_s2_levels.shape[0] - 1)
-        ]
-        resr0 = pose_optimization(
-            T, cam, cache.pos, f_uv[idxr], inv_s2r, rounds, iters, valid=keepr,
-            ur_obs=None if (f_ur is None or bf <= 0) else f_ur[idxr],
-            bf=None if (f_ur is None or bf <= 0) else jnp.float32(bf),
-        )
-        # polish with a windowed pass from the re-acquired pose
-        resr, idxr2, keepr2 = match_and_optimize(
-            resr0.T_cw, 6.0, state.R, state.t
+        # round trips. lax.cond-gated: healthy frames (the vast majority)
+        # skip its ~2x step cost entirely on TPU's real conditionals.
+        need_rec = res2.n_inliers < 25
+
+        def do_recovery(_):
+            idxr, okr, distr = mutual_best_match(
+                cache.desc, cache.valid, f_desc, f_valid,
+                max_dist=TH_LOW, ratio=0.8,
+            )
+            keepr = resolve_duplicate_targets(idxr, okr, distr, feat_cap)
+            inv_s2r = inv_s2_levels[
+                jnp.clip(f_level[idxr], 0, inv_s2_levels.shape[0] - 1)
+            ]
+            resr0 = pose_optimization(
+                T, cam, cache.pos, f_uv[idxr], inv_s2r, rounds, iters,
+                valid=keepr,
+                ur_obs=None if (f_ur is None or bf <= 0) else f_ur[idxr],
+                bf=None if (f_ur is None or bf <= 0) else jnp.float32(bf),
+            )
+            # polish with a windowed pass from the re-acquired pose
+            resr, idxr2, keepr2 = match_and_optimize(
+                resr0.T_cw, 6.0, state.R, state.t
+            )
+            return (resr.T_cw.R, resr.T_cw.t, resr.n_inliers,
+                    resr.inliers, idxr2, keepr2)
+
+        def no_recovery(_):
+            return (res2.T_cw.R, res2.T_cw.t, jnp.int32(-1),
+                    res2.inliers, idx2, keep2)
+
+        (rec_R, rec_t, rec_n, rec_inl, idxr2, keepr2) = jax.lax.cond(
+            need_rec, do_recovery, no_recovery, None
         )
 
-        use_rec = (res2.n_inliers < 25) & (resr.n_inliers > res2.n_inliers)
-        n_inl = jnp.where(use_rec, resr.n_inliers, res2.n_inliers)
-        T_sel_R = jnp.where(use_rec, resr.T_cw.R, res2.T_cw.R)
-        T_sel_t = jnp.where(use_rec, resr.T_cw.t, res2.T_cw.t)
+        use_rec = need_rec & (rec_n > res2.n_inliers)
+        n_inl = jnp.where(use_rec, rec_n, res2.n_inliers)
+        T_sel_R = jnp.where(use_rec, rec_R, res2.T_cw.R)
+        T_sel_t = jnp.where(use_rec, rec_t, res2.T_cw.t)
         idx_f = jnp.where(use_rec, idxr2, idx2)
         good = jnp.where(
-            use_rec, keepr2 & resr.inliers, keep2 & res2.inliers
+            use_rec, keepr2 & rec_inl, keep2 & res2.inliers
         )
         ok = n_inl >= 20
         R_new = jnp.where(ok, T_sel_R, T_pred.R)

@@ -5,9 +5,13 @@ Reports:
 - per-frame inlier counts (to find where/why tracking dips),
 - loss events and slow-path falls.
 """
+import faulthandler
 import os
+import signal
 import sys
 import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
