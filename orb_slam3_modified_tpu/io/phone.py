@@ -39,10 +39,17 @@ def _load_recording_pb2():
         pass
     proto = os.path.join(os.path.dirname(__file__), "recording.proto")
     gen_dir = tempfile.mkdtemp(prefix="recording_pb2_")
-    subprocess.run(
-        ["protoc", f"-I{os.path.dirname(proto)}", f"--python_out={gen_dir}", proto],
-        check=True,
-    )
+    try:
+        subprocess.run(
+            ["protoc", f"-I{os.path.dirname(proto)}", f"--python_out={gen_dir}", proto],
+            check=True,
+        )
+    except (FileNotFoundError, subprocess.CalledProcessError) as e:
+        raise ImportError(
+            "reading protobuf phone recordings needs a generated recording_pb2 "
+            "module or the `protoc` compiler on PATH (install protobuf-compiler, "
+            f"or pre-generate recording_pb2 from {proto})"
+        ) from e
     sys.path.insert(0, gen_dir)
     try:
         import recording_pb2  # type: ignore

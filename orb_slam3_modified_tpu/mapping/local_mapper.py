@@ -562,14 +562,21 @@ def _pad_problem(prob):
     P = prob.points.shape[0]
     O = prob.obs_cam.shape[0]
     if jax.default_backend() != "cpu":
-        # exactly TWO accelerator shapes (each new shape = a minutes-long
-        # remote compile, but the always-max shape made every local BA pay
-        # the worst case: the device solve scales with P and O, and typical
-        # local windows fit the small bucket at ~1/4 the device time)
+        # exactly TWO accelerator shapes for the steady-state local BA (each
+        # new shape = a minutes-long remote compile, but the always-max shape
+        # made every local BA pay the worst case: the device solve scales
+        # with P and O, and typical local windows fit the small bucket at
+        # ~1/4 the device time). Problems that exceed the static pads (the
+        # loop closer's global BA / merge weld run over ALL keyframes) fall
+        # back to power-of-two growth — rare, and each bucket compiles once.
         if K <= 16 and P <= _BA_PAD_P // 2 and O <= _BA_PAD_O // 2:
             Kb, Pb, Ob = 16, _BA_PAD_P // 2, _BA_PAD_O // 2
-        else:
+        elif K <= _BA_PAD_K and P <= _BA_PAD_P and O <= _BA_PAD_O:
             Kb, Pb, Ob = _BA_PAD_K, _BA_PAD_P, _BA_PAD_O
+        else:
+            Kb = max(_BA_PAD_K, bucket(K, 16))
+            Pb = max(_BA_PAD_P, bucket(P, 4096))
+            Ob = max(_BA_PAD_O, bucket(O, 8192))
     else:
         Kb, Pb, Ob = bucket(K, 16), bucket(P, 4096), bucket(O, 8192)
     if (Kb, Pb, Ob) == (K, P, O):

@@ -348,7 +348,10 @@ class MapState:
         Vectorized: the observation table is inverted ONCE (single arena
         scan + argsort) instead of a full (K, F) scan per point.
         """
-        mp_idx = np.atleast_1d(mp_idx)
+        # sort + dedupe: callers pass feature-slot-order lists, but the
+        # segment bounds below feed np.add.reduceat, which silently returns
+        # wrong sums for non-monotonic offsets
+        mp_idx = np.unique(np.atleast_1d(mp_idx))
         if len(mp_idx) == 0:
             return
         # invert obs table once: for each target point, its (kf, slot) list
