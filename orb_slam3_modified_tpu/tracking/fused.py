@@ -1,22 +1,15 @@
 """Fused device-resident tracking step.
 
-The per-frame hot path as ONE jitted dispatch with the tracker state and a
+The per-frame hot path as ONE jitted program with the tracker state and a
 local-map point cache living on device (SURVEY.md §7.3 item 5: "fuse the
 whole track step into <=2 dispatches; keep tracker state resident on
-device"). Host<->device crossings dominate on tunneled TPUs (~50 ms RTT
-measured), so the steady-state loop:
-
-- uploads the frame's features (async h2d),
-- dispatches track_step (async),
-- starts an async copy of the tiny outputs,
-- reads results with a LAG of a few frames, so transfers overlap compute
-  and the pipeline never blocks on the interconnect.
-
-The map cache (a fixed-capacity slice of map points near the camera) is
-refreshed by the host at keyframe rate, not frame rate. Matching +
-IRLS-LM pose optimization reuse the same kernels as the reference-style
-Tracker; this path handles the steady OK state, while initialization,
-relocalization and keyframe bookkeeping stay in tracking/tracker.py.
+device"). The production driver is the chunked frontend
+(tracking/chunked.py), which lax.scan's this step over 16-frame chunks; the
+map cache (a fixed-capacity slice of map points near the camera) is
+refreshed by the host at keyframe rate, not frame rate. Matching + IRLS-LM
+pose optimization reuse the same kernels as the reference-style Tracker;
+this step handles the steady OK state, while initialization, relocalization
+and keyframe bookkeeping stay in tracking/tracker.py.
 """
 from __future__ import annotations
 
@@ -201,204 +194,3 @@ def make_step_body(
 def make_track_step(cam: Camera, inv_s2_levels, feat_cap: int):
     """Build the jitted fused step for a given camera/feature capacity."""
     return jax.jit(make_step_body(cam, inv_s2_levels, feat_cap))
-
-
-class FusedTracker:
-    """Steady-state pipeline driver around tracking/tracker.py.
-
-    Delegates to the full Tracker for initialization, keyframe creation,
-    loss recovery and relocalization; once tracking is OK it streams frames
-    through the fused device step, syncing with the host only at keyframe
-    decisions (with a configurable readback lag).
-    """
-
-    def __init__(self, tracker, lag: int = 2, map_lock=None):
-        import threading
-
-        from .tracker import OK
-
-        self.tracker = tracker
-        self.cfg = tracker.cfg
-        self.lag = lag
-        self.map_lock = map_lock or threading.Lock()
-        self._pending = []  # (fid, ts, feats, out, cache_ids)
-        self.state: DeviceTrackState | None = None
-        self.cache: MapCache | None = None
-        self.cache_ids: np.ndarray | None = None
-        self._step = None
-
-    # -------------------------------------------------------------- cache
-    def refresh_cache(self):
-        """Rebuild the device point cache from the current local map."""
-        t = self.tracker
-        m = t.map
-        k = t.ref_kf
-        if k < 0 or not m.kf_valid[k]:
-            return
-        window = [k] + [int(x) for x in m.best_covisible(k, 10, min_weight=5)]
-        obs = m.kf_obs[window]
-        mp = np.unique(obs[obs >= 0])
-        mp = mp[m.mp_valid[mp]][:CACHE_CAP]
-        n = len(mp)
-        pos = np.zeros((CACHE_CAP, 3), np.float32)
-        desc = np.zeros((CACHE_CAP, 8), np.uint32)
-        valid = np.zeros(CACHE_CAP, bool)
-        ids = np.full(CACHE_CAP, -1, np.int32)
-        pos[:n] = m.mp_pos[mp]
-        desc[:n] = m.mp_desc[mp]
-        valid[:n] = True
-        ids[:n] = mp
-        self.cache = MapCache(
-            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid), jnp.asarray(ids)
-        )
-        self.cache_ids = ids
-
-    def _sync_state_from_tracker(self):
-        t = self.tracker
-        T = t.last.T_cw
-        T_prev = T if t.velocity is None else t.velocity.inverse() @ T
-        self.state = DeviceTrackState(
-            R=jnp.asarray(np.asarray(T.R)),
-            t=jnp.asarray(np.asarray(T.t)),
-            R_prev=jnp.asarray(np.asarray(T_prev.R)),
-            t_prev=jnp.asarray(np.asarray(T_prev.t)),
-            ok=jnp.asarray(True),
-        )
-
-    # --------------------------------------------------------------- track
-    def track(self, feats, ts: float):
-        from .tracker import OK
-
-        t = self.tracker
-        if t.state != OK or t.ref_kf < 0:
-            # slow path (init / reloc / recovery) — mutates the map from
-            # this thread, so serialize against the async mapper
-            with self.map_lock:
-                out = t.track(feats, ts)
-                if t.state == OK:
-                    self.refresh_cache()
-                    self._sync_state_from_tracker()
-            return out
-        if self.cache is None or self.state is None:
-            self.refresh_cache()
-            self._sync_state_from_tracker()
-        if self._step is None:
-            self._step = make_track_step(
-                self.cfg.cam, self.cfg.inv_level_sigma2(), feats.capacity
-            )
-        self.state, out = self._step(
-            self.state, self.cache, feats.uv, feats.desc, feats.level, feats.valid
-        )
-        # async copy of the small outputs; consumed after `lag` frames
-        for leaf in (out.R, out.t, out.n_inliers, out.obs_cache_idx):
-            try:
-                leaf.copy_to_host_async()
-            except Exception:
-                pass
-        self._pending.append((t.frame_id, ts, feats, out, self.cache_ids))
-        t.frame_id += 1
-        result = None
-        if len(self._pending) > self.lag:
-            result = self._retire(*self._pending.pop(0))
-        return result
-
-    def flush(self):
-        """Retire all pending frames (end of sequence)."""
-        outs = []
-        while self._pending:
-            outs.append(self._retire(*self._pending.pop(0)))
-        return outs
-
-    def _retire(self, fid, ts, feats, out, cache_ids):
-        """Read back one frame's result; run keyframe policy on the host.
-        Holds the map lock across map reads/writes (the async mapper mutates
-        the arena from its worker thread)."""
-        from ..slam_map.map_state import NO_POINT
-        from .tracker import RECENTLY_LOST, FrameRecord
-
-        t = self.tracker
-        # lock-free fast path: per-frame retire only does brief element reads
-        # and counter bumps (torn reads are benign, mirroring the reference's
-        # snapshot-style tracker reads); only keyframe creation, which
-        # structurally mutates the arena, takes the map lock below.
-        return self._retire_impl(fid, ts, feats, out, cache_ids, t, NO_POINT, RECENTLY_LOST, FrameRecord)
-
-    def _retire_impl(self, fid, ts, feats, out, cache_ids, t, NO_POINT, RECENTLY_LOST, FrameRecord):
-        n_inl = int(out.n_inliers)
-        R = np.asarray(out.R)
-        tt = np.asarray(out.t)
-        # numpy-backed SE3: the per-frame path must not upload to device
-        T = SE3(R, tt)
-        obs_cache = np.asarray(out.obs_cache_idx)
-        obs_mp = np.full(feats.capacity, NO_POINT, np.int32)
-        hit = obs_cache >= 0
-        obs_mp[hit] = cache_ids[obs_cache[hit]]
-        # points may have been culled/fused since this frame was dispatched
-        stale = (obs_mp != NO_POINT) & ~t.map.mp_valid[np.maximum(obs_mp, 0)]
-        obs_mp[stale] = NO_POINT
-        # numpy 4x4 (SE3.matrix() is jnp-backed -> device round trip)
-        T_abs = np.eye(4)
-        T_abs[:3, :3] = R
-        T_abs[:3, 3] = tt
-        if n_inl < self.cfg.min_inliers_local:
-            # fall back to the full tracker on the next frame
-            t.state = RECENTLY_LOST
-            t.last = FrameRecord(feats, T, obs_mp, ts, fid)
-            self.state = None
-            return None
-        rec = FrameRecord(feats, T, obs_mp, ts, fid)
-        # velocity in numpy (SE3 methods would dispatch device ops per frame)
-        if t.last is not None:
-            R_l = np.asarray(t.last.T_cw.R)
-            t_l = np.asarray(t.last.T_cw.t)
-            vR = R @ R_l.T
-            vt = tt - vR @ t_l
-            t.velocity = SE3(vR, vt)
-        t.last = rec
-        t.frames_since_kf += 1
-        t.n_last_inliers = n_inl
-        # trajectory (relative log, same as Tracker.track)
-        ref = t.ref_kf
-        if ref >= 0 and t.map.kf_valid[ref]:
-            T_kw = np.eye(4)
-            T_kw[:3, :3] = t.map.kf_R[ref]
-            T_kw[:3, 3] = t.map.kf_t[ref]
-            t.trajectory.append(
-                (ts, fid, ref, int(t.map.kf_frame_id[ref]),
-                 T_abs @ np.linalg.inv(T_kw), T_abs)
-            )
-        else:
-            t.trajectory.append((ts, fid, -1, -1, T_abs, T_abs))
-        if t._need_new_keyframe(n_inl):
-            T_pre = np.eye(4)
-            T_pre[:3, :3] = np.asarray(rec.T_cw.R)
-            T_pre[:3, 3] = np.asarray(rec.T_cw.t)
-            with self.map_lock:
-                t._create_keyframe(rec)
-            # local BA just moved the new keyframe: propagate the world
-            # correction W = T_pre^-1 T_post into the device-resident pose
-            # (otherwise the pipeline drifts away from the optimized map)
-            k_new = t.ref_kf
-            T_post = np.eye(4)
-            T_post[:3, :3] = t.map.kf_R[k_new]
-            T_post[:3, 3] = t.map.kf_t[k_new]
-            W = np.linalg.inv(T_pre) @ T_post
-            if np.abs(W - np.eye(4)).max() > 1e-9 and self.state is not None:
-                Wj = jnp.asarray(W.astype(np.float32))
-
-                def corr(R, tt_):
-                    T4 = jnp.concatenate(
-                        [
-                            jnp.concatenate([R, tt_[:, None]], axis=1),
-                            jnp.asarray([[0.0, 0.0, 0.0, 1.0]]),
-                        ],
-                        axis=0,
-                    ) @ Wj
-                    return T4[:3, :3], T4[:3, 3]
-
-                R1, t1 = corr(self.state.R, self.state.t)
-                R0, t0 = corr(self.state.R_prev, self.state.t_prev)
-                self.state = DeviceTrackState(R1, t1, R0, t0, self.state.ok)
-            # refresh candidates; in-flight steps keep their captured cache
-            self.refresh_cache()
-        return T_abs
