@@ -348,7 +348,18 @@ class LoopCloser:
         # gravity pins roll/pitch (reference: OptimizeEssentialGraph4DoF,
         # src/Optimizer.cc:5292, selected at src/LoopClosing.cc:1193 region)
         four_dof = bool(m.imu_initialized and m.n_inertial_ba >= 2)
-        S_opt = optimize_pose_graph(prob, four_dof, 25)
+        if len(jax.devices()) > 1:
+            # multi-chip: shard the essential graph's edges over the mesh
+            # (per-edge jacfwd + psum-reduced normal system,
+            # parallel/dist_pose_graph.py — BASELINE.json north star)
+            from jax.sharding import Mesh
+
+            from ..parallel.dist_pose_graph import dist_optimize_pose_graph
+
+            mesh = Mesh(np.array(jax.devices()), ("ba",))
+            S_opt = dist_optimize_pose_graph(prob, mesh, four_dof, 25)
+        else:
+            S_opt = optimize_pose_graph(prob, four_dof, 25)
         # persist this closure's edge for every future essential graph
         # (reference: mpCurrentKF->AddLoopEdge(mpLoopMatchedKF) in CorrectLoop)
         m.add_loop_edge(int(k), int(c))
@@ -465,8 +476,23 @@ class LoopCloser:
         GBA budget) with an abort check between rounds; on completion,
         corrections are propagated to keyframes/points created while the
         solve ran, via the spanning-tree parent chain (reference
-        :2330-2500)."""
+        :2330-2500).
+
+        IMU-initialized maps route through the joint visual-inertial solver
+        instead (reference: RunGlobalBundleAdjustment picks
+        FullInertialBA(pActiveMap, 7, ...) when isImuInitialized,
+        src/LoopClosing.cc:2284-2287, src/Optimizer.cc:392)."""
         m = self.map
+        if (
+            self.imu is not None
+            and self.imu.initialized
+            and m.imu_initialized
+        ):
+            done = self._global_vi_ba(abort)
+            if done is not None:
+                return done
+            # inertial chain unusable (too short after culling): fall back
+            # to the visual-only solve below
         with self.map_lock:
             kfs = m.keyframe_indices()
             mps = m.point_indices()
@@ -521,59 +547,157 @@ class LoopCloser:
             self.n_gba_aborted += 1
             return False
         with self.map_lock:
-            # keyframes culled/replaced during the solve keep their state
-            alive = m.kf_valid[kfs] & (m.kf_frame_id[kfs] == kfs_fid)
-            R_opt = np.asarray(res.T_cw.R)[: len(kfs)]
-            t_opt = np.asarray(res.T_cw.t)[: len(kfs)]
-            m.kf_R[kfs[alive]] = R_opt[alive]
-            m.kf_t[kfs[alive]] = t_opt[alive]
-            mp_alive = m.mp_valid[mps]
-            m.mp_pos[mps[mp_alive]] = np.asarray(res.points)[: len(mps)][mp_alive]
-            # propagate to keyframes created during the GBA through the
-            # parent chain: T_new = (T_child T_parent_pre^-1) T_parent_opt
-            if m.kf_parent is not None:
-                in_gba = np.zeros(m.kf_valid.shape[0], bool)
-                in_gba[kfs[alive]] = True
-                pos_of = {int(k): i for i, k in enumerate(kfs)}
-                new_kfs = np.flatnonzero(m.kf_valid & ~in_gba)
-                corrected_R = {int(k): R_opt[pos_of[int(k)]] for k in kfs[alive]}
-                corrected_t = {int(k): t_opt[pos_of[int(k)]] for k in kfs[alive]}
-                pre_R_of = {int(k): pre_R[pos_of[int(k)]] for k in kfs[alive]}
-                pre_t_of = {int(k): pre_t[pos_of[int(k)]] for k in kfs[alive]}
-                for k in sorted(new_kfs, key=lambda x: int(m.kf_frame_id[x])):
-                    p = int(m.kf_parent[k])
-                    if p < 0 or p not in corrected_R:
-                        continue
-                    T_c = np.eye(4)
-                    T_c[:3, :3] = m.kf_R[k]
-                    T_c[:3, 3] = m.kf_t[k]
-                    T_pp = np.eye(4)
-                    T_pp[:3, :3] = pre_R_of[p]
-                    T_pp[:3, 3] = pre_t_of[p]
-                    T_po = np.eye(4)
-                    T_po[:3, :3] = corrected_R[p]
-                    T_po[:3, 3] = corrected_t[p]
-                    T_new = (T_c @ np.linalg.inv(T_pp)) @ T_po
-                    # late kfs become "corrected" parents for their children
-                    pre_R_of[int(k)] = m.kf_R[k].copy()
-                    pre_t_of[int(k)] = m.kf_t[k].copy()
-                    corrected_R[int(k)] = T_new[:3, :3].astype(np.float32)
-                    corrected_t[int(k)] = T_new[:3, 3].astype(np.float32)
-                    m.kf_R[k] = T_new[:3, :3]
-                    m.kf_t[k] = T_new[:3, 3]
-                # points created during the GBA: correct via their first kf
-                in_ba_pt = np.zeros(m.mp_valid.shape[0], bool)
-                in_ba_pt[mps] = True
-                new_pts = np.flatnonzero(m.mp_valid & ~in_ba_pt)
-                for mp in new_pts:
-                    r = int(m.mp_first_kf[mp])
-                    if r not in corrected_R or r not in pre_R_of:
-                        continue
-                    p_cam = pre_R_of[r] @ m.mp_pos[mp] + pre_t_of[r]
-                    Rn, tn = corrected_R[r], corrected_t[r]
-                    m.mp_pos[mp] = (Rn.T @ (p_cam - tn)).astype(np.float32)
+            self._commit_gba(
+                kfs, kfs_fid, mps,
+                np.asarray(res.T_cw.R)[: len(kfs)],
+                np.asarray(res.T_cw.t)[: len(kfs)],
+                np.asarray(res.points)[: len(mps)],
+                pre_R, pre_t,
+            )
         self.n_gba_runs += 1
         return True
+
+    def _global_vi_ba(self, abort: threading.Event | None = None):
+        """Joint visual-inertial global BA over the whole inertial chain.
+
+        Reference: RunGlobalBundleAdjustment routes IMU-initialized maps to
+        FullInertialBA(pActiveMap, 7, false, nLoopKF, &mbStopGBA)
+        (src/LoopClosing.cc:2284-2287, src/Optimizer.cc:392-560) — a solver
+        that knows the gravity/velocity/bias factors, so the post-loop
+        refinement cannot drag the gravity-aligned poses with a blind
+        visual-only solve. Returns None when the chain is unusable (caller
+        falls back to the visual GBA), True/False like _global_ba otherwise.
+        """
+        from ..imu.preintegration import ImuBias
+        from ..optim.vi_ba import build_vi_problem, vi_bundle_adjust
+
+        m = self.map
+        with self.map_lock:
+            kfs_chain, pres = self.imu.valid_chain(m)
+            if len(kfs_chain) < 4:
+                return None
+            kfs = np.asarray(kfs_chain)
+            kfs_fid = m.kf_frame_id[kfs].copy()
+            fixed = np.zeros(len(kfs), bool)
+            fixed[0] = True  # gauge: oldest chain keyframe
+            prob, _, mp_sel = build_vi_problem(
+                m, self.tcfg, list(kfs), pres[1:], fixed, 0.0, 0.0,
+                self.imu.cfg, pt_bucket=16384, obs_bucket=8192,
+                state_fixed=np.zeros(len(kfs), bool),
+            )
+            pre_R = m.kf_R[kfs].copy()
+            pre_t = m.kf_t[kfs].copy()
+        res = None
+        if len(jax.devices()) > 1:
+            # multi-chip: sharded visual Schur + replicated 15K inertial
+            # block (parallel/dist_vi_ba.py — BASELINE.json north star)
+            from jax.sharding import Mesh
+
+            from ..parallel.dist_vi_ba import dist_vi_bundle_adjust
+
+            if abort is not None and abort.is_set():
+                self.n_gba_aborted += 1
+                return False
+            mesh = Mesh(np.array(jax.devices()), ("ba",))
+            res, _ = dist_vi_bundle_adjust(
+                prob, self.tcfg.cam, mesh, rounds=2, iters_per_round=4
+            )
+        else:
+            for round_idx in range(2):
+                if abort is not None and abort.is_set():
+                    self.n_gba_aborted += 1
+                    return False
+                # reference budget: post-loop FullInertialBA runs 7 iters;
+                # two abortable rounds of 4 with chi2 reclassification
+                res = vi_bundle_adjust(prob, self.tcfg.cam, 1, 4)
+                prob = prob._replace(
+                    T_cw=res.T_cw, points=res.points, v_w=res.v_w,
+                    bg=res.bg, ba=res.ba,
+                    obs_valid=prob.obs_valid & res.obs_inlier,
+                )
+        if abort is not None and abort.is_set():
+            self.n_gba_aborted += 1
+            return False
+        K0 = len(kfs)
+        with self.map_lock:
+            alive = m.kf_valid[kfs] & (m.kf_frame_id[kfs] == kfs_fid)
+            v_opt = np.asarray(res.v_w)[:K0]
+            bg_opt = np.asarray(res.bg)[:K0]
+            ba_opt = np.asarray(res.ba)[:K0]
+            m.kf_vel[kfs[alive]] = v_opt[alive]
+            m.kf_bias[kfs[alive], :3] = bg_opt[alive]
+            m.kf_bias[kfs[alive], 3:] = ba_opt[alive]
+            self._commit_gba(
+                kfs, kfs_fid, np.asarray(mp_sel),
+                np.asarray(res.T_cw.R)[:K0],
+                np.asarray(res.T_cw.t)[:K0],
+                np.asarray(res.points)[: len(mp_sel)],
+                pre_R, pre_t,
+            )
+            # frontend state follows the newest chain keyframe
+            if len(alive) and alive[-1]:
+                self.imu.v_w = v_opt[-1].astype(np.float32)
+                self.imu.bias = ImuBias(
+                    jnp.asarray(bg_opt[-1]), jnp.asarray(ba_opt[-1])
+                )
+        self.n_gba_runs += 1
+        return True
+
+    def _commit_gba(self, kfs, kfs_fid, mps, R_opt, t_opt, pts_opt, pre_R, pre_t):
+        """Write a whole-map solve back and propagate corrections to
+        keyframes/points created while it ran (spanning-tree parent chain,
+        reference: RunGlobalBundleAdjustment src/LoopClosing.cc:2330-2500).
+        Caller holds the map lock."""
+        m = self.map
+        # keyframes culled/replaced during the solve keep their state
+        alive = m.kf_valid[kfs] & (m.kf_frame_id[kfs] == kfs_fid)
+        m.kf_R[kfs[alive]] = R_opt[alive]
+        m.kf_t[kfs[alive]] = t_opt[alive]
+        mp_alive = m.mp_valid[mps]
+        m.mp_pos[mps[mp_alive]] = pts_opt[mp_alive]
+        # propagate to keyframes created during the GBA through the
+        # parent chain: T_new = (T_child T_parent_pre^-1) T_parent_opt
+        if m.kf_parent is not None:
+            in_gba = np.zeros(m.kf_valid.shape[0], bool)
+            in_gba[kfs[alive]] = True
+            pos_of = {int(k): i for i, k in enumerate(kfs)}
+            new_kfs = np.flatnonzero(m.kf_valid & ~in_gba)
+            corrected_R = {int(k): R_opt[pos_of[int(k)]] for k in kfs[alive]}
+            corrected_t = {int(k): t_opt[pos_of[int(k)]] for k in kfs[alive]}
+            pre_R_of = {int(k): pre_R[pos_of[int(k)]] for k in kfs[alive]}
+            pre_t_of = {int(k): pre_t[pos_of[int(k)]] for k in kfs[alive]}
+            for k in sorted(new_kfs, key=lambda x: int(m.kf_frame_id[x])):
+                p = int(m.kf_parent[k])
+                if p < 0 or p not in corrected_R:
+                    continue
+                T_c = np.eye(4)
+                T_c[:3, :3] = m.kf_R[k]
+                T_c[:3, 3] = m.kf_t[k]
+                T_pp = np.eye(4)
+                T_pp[:3, :3] = pre_R_of[p]
+                T_pp[:3, 3] = pre_t_of[p]
+                T_po = np.eye(4)
+                T_po[:3, :3] = corrected_R[p]
+                T_po[:3, 3] = corrected_t[p]
+                T_new = (T_c @ np.linalg.inv(T_pp)) @ T_po
+                # late kfs become "corrected" parents for their children
+                pre_R_of[int(k)] = m.kf_R[k].copy()
+                pre_t_of[int(k)] = m.kf_t[k].copy()
+                corrected_R[int(k)] = T_new[:3, :3].astype(np.float32)
+                corrected_t[int(k)] = T_new[:3, 3].astype(np.float32)
+                m.kf_R[k] = T_new[:3, :3]
+                m.kf_t[k] = T_new[:3, 3]
+            # points created during the GBA: correct via their first kf
+            in_ba_pt = np.zeros(m.mp_valid.shape[0], bool)
+            in_ba_pt[mps] = True
+            new_pts = np.flatnonzero(m.mp_valid & ~in_ba_pt)
+            for mp in new_pts:
+                r = int(m.mp_first_kf[mp])
+                if r not in corrected_R or r not in pre_R_of:
+                    continue
+                p_cam = pre_R_of[r] @ m.mp_pos[mp] + pre_t_of[r]
+                Rn, tn = corrected_R[r], corrected_t[r]
+                m.mp_pos[mp] = (Rn.T @ (p_cam - tn)).astype(np.float32)
 
     # ------------------------------------------------------------ async GBA
     def _start_gba_async(self):

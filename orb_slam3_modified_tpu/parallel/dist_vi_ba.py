@@ -272,12 +272,15 @@ def dist_vi_bundle_adjust(
 
 
 def _vseed(grouped, prob, K, state_fixed):
-    prob_rep = grouped._replace(
+    # device-convert EVERY leaf: problems built by optim.vi_ba.build_vi_problem
+    # are numpy end-to-end, and numpy arrays cannot be indexed by the vmap
+    # tracers inside _edge_system
+    prob_rep = jax.tree_util.tree_map(jnp.asarray, grouped)
+    prob_rep = prob_rep._replace(
         T_cw=SE3(
             jnp.asarray(np.asarray(prob.T_cw.R, np.float32)),
             jnp.asarray(np.asarray(prob.T_cw.t, np.float32)),
         ),
-        chain=jax.tree_util.tree_map(jnp.asarray, grouped.chain),
     )
     return _reseed_velocities(
         prob_rep,

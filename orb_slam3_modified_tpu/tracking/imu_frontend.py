@@ -68,6 +68,13 @@ class ImuFrontend:
         # Anchored at the last solved body state + current bias.
         self.marg_prior: np.ndarray | None = None  # (15, 15)
         self._marg_pending: np.ndarray | None = None
+        # keyframe-anchored prior (reference: the first frame after a
+        # keyframe solves PoseInertialOptimizationLastKeyFrame against the
+        # keyframe state, src/Optimizer.cc:4491). The frame that became the
+        # keyframe carries its own solved 15-D posterior information; the
+        # next frame anchors on the keyframe's (post-refine) map state with
+        # that covariance-derived information. (kf_idx, kf_frame_id, H)
+        self.kf_prior: tuple | None = None
         self.kf_chain: list = []  # [(kf_idx, Preintegrated from prev kf)]
         self.first_kf_ts: float | None = None
         self.R_gw = np.eye(3, dtype=np.float32)  # gravity alignment applied
@@ -151,8 +158,18 @@ class ImuFrontend:
 
     # -------------------------------------------------------- per keyframe
     def on_keyframe(self, kf_idx: int, ts: float, slam_map):
-        # keyframe processing (local/VI BA) moves the map the prior was
-        # linearized against: drop it (rebuilt on the next frame solve)
+        # the frame becoming this keyframe carries its own solved posterior
+        # information — keep it as the keyframe-anchored prior for the next
+        # frame's solve (reference: PoseInertialOptimizationLastKeyFrame
+        # anchors on the keyframe, src/Optimizer.cc:4491). The anchor STATE
+        # is read from the map at solve time, so the mapper's VI refinement
+        # moving the keyframe is absorbed; the information matrix is a
+        # conservative carry-over of the pre-refine posterior.
+        H_kf = self._marg_pending if self._marg_pending is not None else self.marg_prior
+        if H_kf is not None:
+            self.kf_prior = (int(kf_idx), int(slam_map.kf_frame_id[kf_idx]), H_kf)
+        # keyframe processing (local/VI BA) moves the map the frame-to-frame
+        # prior was linearized against: drop it (rebuilt on the next solve)
         self.marg_prior = None
         self._marg_pending = None
         if self.first_kf_ts is None:
@@ -287,6 +304,7 @@ class ImuFrontend:
         self.bias = ImuBias(res.bg, res.ba)
         self.marg_prior = None  # world frame + bias changed under the prior
         self._marg_pending = None
+        self.kf_prior = None  # its tangent frame rotated with the world
         self.initialized = True
         self.stage += 1
         slam_map.imu_initialized = True

@@ -50,6 +50,16 @@ _STATE_NAMES = {0: "NOT_INITIALIZED", 1: "OK", 2: "RECENTLY_LOST", 3: "LOST"}
 
 POSE_OPT_CAP = 2048  # static association capacity for pose optimization
 
+# Near-fixed anchor information for the prior-free VI solve cases
+# (post-init / post-reloc): the reference fixes the anchor vertices outright
+# (setFixed(true) in PoseInertialOptimizationLastKeyFrame,
+# src/Optimizer.cc:4491); a stiff finite information is the joint-solver
+# equivalent. The steady-state path carries covariance-derived priors
+# instead (Tracker._vi_prior_for_frame).
+_FIXED_ANCHOR_INFO = np.diag(
+    np.concatenate([np.full(6, 1e6), np.full(3, 1e4), np.full(6, 1e4)])
+).astype(np.float32)
+
 
 def _pad1(a, n, fill=0):
     a = np.asarray(a)
@@ -578,29 +588,18 @@ class Tracker:
             # body-frame on any rig, not only body==camera)
             R_bc = np.asarray(imu.cfg.R_bc, np.float32)
             t_bc = np.asarray(imu.cfg.t_bc, np.float32)
-            R_cw_prev = np.asarray(self.last.T_cw.R)
-            t_cw_prev = np.asarray(self.last.T_cw.t)
+            R_cw_prev, t_cw_prev, v_prev, H_prior, self._vi_prior_src = (
+                self._vi_prior_for_frame()
+            )
             R_bw_prev = R_bc @ R_cw_prev
             t_bw_prev = R_bc @ t_cw_prev + t_bc
             R_prev = R_bw_prev.T  # R_wb of previous frame
             p_prev = -R_bw_prev.T @ t_bw_prev
-            if imu.marg_prior is not None:
-                H_prior = imu.marg_prior
-            else:
-                # no prior yet (first frame after init / keyframe / reloc):
-                # strong default holds the previous state near-fixed, which
-                # reproduces the prior-free behavior while still producing a
-                # marginal for the next frame
-                H_prior = np.diag(
-                    np.concatenate(
-                        [np.full(6, 1e6), np.full(3, 1e4), np.full(6, 1e4)]
-                    )
-                ).astype(np.float32)
             res = vi_pose_optimization_marg(
                 T0, self.cfg.cam, pts_p, uv_p, is2_p, jnp.asarray(valid),
                 jnp.asarray(R_prev.astype(np.float32)),
                 jnp.asarray(p_prev.astype(np.float32)),
-                jnp.asarray(imu.v_w),
+                jnp.asarray(v_prev),
                 jnp.asarray(H_prior),
                 pre.dT, pre.dR, pre.dV, pre.dP,
                 pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa,
@@ -624,6 +623,62 @@ class Tracker:
         )
         res = fetch(res)
         return SE3(res.T_cw.R, res.T_cw.t), res.inliers[: len(pts_w)]
+
+    def _vi_prior_for_frame(self):
+        """Anchor state + 15-D information for the VI frame solve.
+
+        Returns (R_cw_prev, t_cw_prev, v_prev, H_prior, source):
+        - "marg": steady state — previous frame's state with the Schur
+          marginal carried from its solve (reference:
+          PoseInertialOptimizationLastFrame, src/Optimizer.cc:4875).
+        - "kf": first frame after a keyframe — anchored on the keyframe's
+          CURRENT map state (the mapper's VI refinement included) with the
+          covariance-derived posterior captured when the frame became that
+          keyframe (reference: PoseInertialOptimizationLastKeyFrame,
+          src/Optimizer.cc:4491).
+        - "fixed": no usable prior (post-init / post-reloc edge): hold the
+          anchor near-fixed, mirroring the reference's setFixed(true) on
+          the anchor vertices.
+        """
+        imu = self.imu
+        m = self.map
+        if imu.marg_prior is not None:
+            return (
+                np.asarray(self.last.T_cw.R, np.float32),
+                np.asarray(self.last.T_cw.t, np.float32),
+                np.asarray(imu.v_w, np.float32),
+                imu.marg_prior,
+                "marg",
+            )
+        k = self.ref_kf
+        if (
+            k >= 0
+            and m.kf_valid[k]
+            and int(m.kf_frame_id[k]) == self.last.frame_id
+        ):
+            kp = imu.kf_prior
+            if kp is not None and kp[0] == k and kp[1] == int(m.kf_frame_id[k]):
+                return (
+                    m.kf_R[k].astype(np.float32),
+                    m.kf_t[k].astype(np.float32),
+                    m.kf_vel[k].astype(np.float32),
+                    kp[2],
+                    "kf",
+                )
+            return (
+                m.kf_R[k].astype(np.float32),
+                m.kf_t[k].astype(np.float32),
+                m.kf_vel[k].astype(np.float32),
+                _FIXED_ANCHOR_INFO,
+                "fixed",
+            )
+        return (
+            np.asarray(self.last.T_cw.R, np.float32),
+            np.asarray(self.last.T_cw.t, np.float32),
+            np.asarray(imu.v_w, np.float32),
+            _FIXED_ANCHOR_INFO,
+            "fixed",
+        )
 
     def _track_reference_kf(self, feats: Features, T_pred):
         """Reference: TrackReferenceKeyFrame (src/Tracking.cc:2723) — match
