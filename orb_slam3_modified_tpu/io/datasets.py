@@ -47,15 +47,24 @@ class EurocDataset:
     Reference loaders: mono_inertial_euroc.cc LoadImages/LoadIMU.
     """
 
-    def __init__(self, root: str, stereo: bool = False, with_imu: bool = False):
+    def __init__(self, root: str, stereo: bool = False, with_imu: bool = False,
+                 with_depth: bool = False, depth_scale: float = 1000.0):
         self.root = root
         self.stereo = stereo
         self.with_imu = with_imu
+        self.with_depth = with_depth
+        self.depth_scale = depth_scale  # depth png units per meter
         cam0 = os.path.join(root, "mav0", "cam0")
         self.ts, self.files = self._read_cam_csv(cam0)
         if stereo:
             cam1 = os.path.join(root, "mav0", "cam1")
             _, self.files_r = self._read_cam_csv(cam1)
+        if with_depth:
+            # aligned depth stream (RGB-D / RGB-D-inertial configs; the
+            # reference's equivalent surface is the realsense D435i stream,
+            # Examples/RGB-D-Inertial/rgbd_inertial_realsense_D435i.cc)
+            depth0 = os.path.join(root, "mav0", "depth0")
+            _, self.files_d = self._read_cam_csv(depth0)
         self.imu = self._read_imu() if with_imu else None
 
     @staticmethod
@@ -99,6 +108,12 @@ class EurocDataset:
         for i, (t, f) in enumerate(zip(self.ts, self.files)):
             img = _imread_gray(f)
             right = _imread_gray(self.files_r[i]) if self.stereo else None
+            depth = None
+            if self.with_depth:
+                import cv2
+
+                d16 = cv2.imread(self.files_d[i], cv2.IMREAD_UNCHANGED)
+                depth = d16.astype(np.float32) / self.depth_scale
             imu_batch = None
             if self.imu is not None:
                 imu_batch = []
@@ -107,7 +122,7 @@ class EurocDataset:
                         imu_batch.append(self.imu[imu_i])
                     imu_i += 1
             prev_ts = t
-            yield FrameData(t, img, image_right=right, imu=imu_batch)
+            yield FrameData(t, img, image_right=right, depth=depth, imu=imu_batch)
 
 
 class TumDataset:

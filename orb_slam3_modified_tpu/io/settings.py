@@ -40,6 +40,9 @@ class Settings:
     rgb: bool
     baseline: float = 0.0  # stereo: b*fx (ThDepth domain)
     th_depth: float = 35.0
+    # discard depth/stereo points beyond this range (meters); 0 = disabled
+    # (reference: thFarPoints YAML flag, src/System.cc:199-209)
+    th_far_points: float = 0.0
     sensor: str = "monocular"
     # pinhole radtan distortion (k1,k2,p1,p2,k3) of the (left) camera; None
     # when the images are pre-rectified or the model is KB8
@@ -223,6 +226,7 @@ def load_settings(path: str) -> Settings:
         rgb=bool(int(get("Camera.RGB", 1) or 1)),
         baseline=baseline,
         th_depth=float(get("ThDepth", get("Stereo.ThDepth", 35.0)) or 35.0),
+        th_far_points=float(get("thFarPoints", 0.0) or 0.0),
         dist=dist,
         rect=rect,
     )

@@ -74,7 +74,11 @@ class LoopCloser:
         self.hypothesis: tuple | None = None
         self.n_loops_closed = 0
         self.n_merges = 0
-        self.last_loop_kf = -1
+        # frame id of the keyframe that last closed a loop: slots are
+        # free-listed and reused, so the cooldown gate must compare the
+        # monotonic frame ids (reference compares monotonic KeyFrame::mnId,
+        # mnLastLoopKFid gate)
+        self.last_loop_frame = -(10**9)
         # async GBA machinery (reference: transient GBA thread + mbStopGBA)
         self.map_lock = threading.RLock()  # overridden by the system facade
         self._gba_thread: threading.Thread | None = None
@@ -105,7 +109,8 @@ class LoopCloser:
         # gate: map must have enough keyframes (reference uses 12; with this
         # framework's stronger keyframe culling, maps stay denser in content
         # but smaller in count, so 10 is the equivalent threshold)
-        if m.n_keyframes() >= 10 and k - self.last_loop_kf > 5:
+        cur_fid = int(m.kf_frame_id[k])
+        if m.n_keyframes() >= 10 and cur_fid - self.last_loop_frame > 20:
             cand = None
             if self.hypothesis is not None:
                 # refine the standing hypothesis directly against the new
@@ -133,7 +138,7 @@ class LoopCloser:
                         self._correct_loop(k, cand_kf, S_ck, mp_pairs)
                         self.n_loops_closed += 1
                     self.hypothesis = None
-                    self.last_loop_kf = k
+                    self.last_loop_frame = cur_fid
                     closed = True
             else:
                 self.hypothesis = None

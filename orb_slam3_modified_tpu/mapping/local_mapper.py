@@ -467,9 +467,12 @@ class LocalMapper:
         equal scale — scale check simplified away) is removed."""
         m = self.map
         counts = m.obs_count_per_point()
+        # loop-edge keyframes are uncullable (reference: AddLoopEdge sets
+        # mbNotErase, src/KeyFrame.cc:525-528)
+        protected = m.loop_edge_keyframes()
         for kc in m.best_covisible(k, 10, min_weight=10):
             kc = int(kc)
-            if kc == k:
+            if kc == k or kc in protected:
                 continue
             slots, mps = m.observations_of_kf(kc)
             if len(mps) < 20:

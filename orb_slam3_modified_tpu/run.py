@@ -27,7 +27,8 @@ def main(argv=None):
                         ".npz (scripts/train_default_vocab.py); default = "
                         "packaged corpus-trained vocabulary")
     p.add_argument("--sensor",
-                   choices=["mono", "stereo", "rgbd", "mono-imu", "stereo-imu"],
+                   choices=["mono", "stereo", "rgbd", "mono-imu", "stereo-imu",
+                            "rgbd-imu"],
                    default="mono")
     p.add_argument("--out", default="trajectory_tum.txt")
     p.add_argument("--kf-out", default=None)
@@ -75,7 +76,7 @@ def main(argv=None):
         dist = None
         rect = None
 
-    from .system.slam_system import IMU_STEREO
+    from .system.slam_system import IMU_RGBD, IMU_STEREO
 
     sensor = {
         "mono": MONOCULAR,
@@ -83,6 +84,7 @@ def main(argv=None):
         "rgbd": RGBD,
         "mono-imu": IMU_MONOCULAR,
         "stereo-imu": IMU_STEREO,
+        "rgbd-imu": IMU_RGBD,
     }[args.sensor]
     voc = None
     if args.vocab:
@@ -116,7 +118,8 @@ def main(argv=None):
         feat_cap=ecfg.n_features,
         vocabulary=voc,
         use_loop_closing=not args.no_loop,
-        bf=bf if "stereo" in args.sensor or args.sensor == "rgbd" else 0.0,
+        bf=bf if "stereo" in args.sensor or "rgbd" in args.sensor else 0.0,
+        th_far_points=st.th_far_points if args.config else 0.0,
         dist=dist,
         imu=imu_cfg,
         # KB8 fisheye rig (no rectification): general left<->right matching
@@ -137,9 +140,10 @@ def main(argv=None):
 
     if args.dataset == "euroc":
         ds = EurocDataset(args.path, stereo="stereo" in args.sensor,
-                          with_imu="imu" in args.sensor)
+                          with_imu="imu" in args.sensor,
+                          with_depth="rgbd" in args.sensor)
     elif args.dataset == "tum":
-        ds = TumDataset(args.path, with_depth=args.sensor == "rgbd")
+        ds = TumDataset(args.path, with_depth="rgbd" in args.sensor)
     else:
         ds = KittiDataset(args.path, stereo=args.sensor == "stereo")
 
@@ -188,8 +192,14 @@ def main(argv=None):
                 )
             else:
                 slam.track_stereo(img, img_r, frame.ts, imu_samples=samples)
-        elif args.sensor == "rgbd" and frame.depth is not None:
-            slam.track_rgbd(img, jnp.asarray(frame.depth), frame.ts)
+        elif "rgbd" in args.sensor and frame.depth is not None:
+            samples = None
+            if "imu" in args.sensor:
+                samples = imu_tuple(frame.imu, prev_imu_ts)
+                if frame.imu:
+                    prev_imu_ts = frame.imu[-1].ts
+            slam.track_rgbd(img, jnp.asarray(frame.depth), frame.ts,
+                            imu_samples=samples)
         elif args.sensor == "mono-imu":
             samples = imu_tuple(frame.imu, prev_imu_ts)
             if frame.imu:

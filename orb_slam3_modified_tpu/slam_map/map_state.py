@@ -108,6 +108,17 @@ class MapState:
                 out.append((ki, kj))
         return out
 
+    def loop_edge_keyframes(self):
+        """Keyframe slots pinned by a loop/merge edge. The reference makes
+        these permanently uncullable (KeyFrame::AddLoopEdge sets
+        mbNotErase, src/KeyFrame.cc:525-528) — culling one would silently
+        drop the constraint from every future essential graph."""
+        out = set()
+        for a, b in self.valid_loop_edges():
+            out.add(a)
+            out.add(b)
+        return out
+
     @staticmethod
     def create(max_kf: int = 512, max_mp: int = 32768, feat_cap: int = 1024):
         K, M, F = max_kf, max_mp, feat_cap

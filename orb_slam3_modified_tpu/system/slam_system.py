@@ -37,6 +37,7 @@ STEREO = 1
 RGBD = 2
 IMU_MONOCULAR = 3
 IMU_STEREO = 4
+IMU_RGBD = 5
 
 
 @dataclasses.dataclass
@@ -55,6 +56,9 @@ class SystemConfig:
     bf: float = 0.0  # baseline * fx (reference mbf); rectified pairs
     min_depth: float = 0.3  # stereo minimum depth (= bf / max disparity)
     depth_scale: float = 1.0  # RGB-D depth map factor (reference mDepthMapFactor)
+    # depth readings beyond this are discarded outright (reference:
+    # thFarPoints YAML flag, src/System.cc:199-209 -> mThFarPoints); 0 = off
+    th_far_points: float = 0.0
     # non-rectified stereo (fisheye): right camera + left->right extrinsics
     cam_right: Camera = None
     T_rl: object = None  # (4, 4) p_right = R @ p_left + t
@@ -93,7 +97,7 @@ class SlamSystem:
             else None
         )
         self.tracker.on_keyframe = self._on_keyframe
-        if cfg.sensor in (IMU_MONOCULAR, IMU_STEREO):
+        if cfg.sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
             from ..tracking.imu_frontend import ImuConfig, ImuFrontend
 
             imu_cfg = cfg.imu or ImuConfig()
@@ -281,14 +285,21 @@ class SlamSystem:
                     np.float32
                 )
                 depth = np.asarray(depth)
+            if self.cfg.th_far_points > 0:
+                far = depth > self.cfg.th_far_points
+                depth = np.where(far, -1.0, depth)
+                if ur is not None:
+                    ur = np.where(far, -1.0, ur)
         return self.track_features(
             feats, ts, depth=depth, imu_samples=imu_samples, ur=ur
         )
 
-    def track_rgbd(self, image, depth_map, ts: float):
+    def track_rgbd(self, image, depth_map, ts: float, imu_samples=None):
         """RGB-D entry: per-feature depth lookup + virtual-right coordinate
         uR = u - bf/z (reference: System::TrackRGBD src/System.cc:349 ->
-        ComputeStereoFromRGBD src/Frame.cc:984)."""
+        ComputeStereoFromRGBD src/Frame.cc:984). imu_samples enables the
+        RGB-D-inertial config (reference:
+        Examples/RGB-D-Inertial/rgbd_inertial_realsense_D435i.cc)."""
         import jax.numpy as jnp
 
         from ..ops.stereo_match import depth_from_depthmap
@@ -302,13 +313,16 @@ class SlamSystem:
                 feats.uv, jnp.asarray(depth_map), self.cfg.depth_scale
             )
         )
+        if self.cfg.th_far_points > 0:
+            d = np.where(d > self.cfg.th_far_points, -1.0, d)
         ur = None
         if self.cfg.bf > 0:
             u = np.asarray(feats.uv)[:, 0]
             ur = np.where(d > 0, u - self.cfg.bf / np.maximum(d, 1e-6), -1.0).astype(
                 np.float32
             )
-        return self.track_features(feats, ts, depth=d, ur=ur)
+        return self.track_features(feats, ts, depth=d, ur=ur,
+                                   imu_samples=imu_samples)
 
     def track_features(self, feats: Features, ts: float, depth=None,
                        imu_samples=None, ur=None):

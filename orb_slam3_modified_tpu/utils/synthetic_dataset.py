@@ -152,6 +152,8 @@ def write_euroc_sequence(
     acc_noise_std: float = 0.0,  # m/s^2 per-sample white noise
     gyro_bias=(0.0, 0.0, 0.0),  # constant true bias (rad/s)
     acc_bias=(0.0, 0.0, 0.0),  # constant true bias (m/s^2)
+    with_depth: bool = False,  # write mav0/depth0/data/<ns>.png (uint16 mm)
+    texture: np.ndarray = None,  # (TH, TW) float32 override scene texture
 ):
     """Render an orbit over a textured plane into EuRoC layout.
 
@@ -178,8 +180,11 @@ def write_euroc_sequence(
     if closed_loop:
         sweep = 2 * np.pi
     rng = np.random.default_rng(seed)
-    tex_small = rng.uniform(0, 255, (96, 96)).astype(np.float32)
-    texture = cv2.resize(tex_small, (1024, 1024), interpolation=cv2.INTER_CUBIC)
+    if texture is None:
+        tex_small = rng.uniform(0, 255, (96, 96)).astype(np.float32)
+        texture = cv2.resize(
+            tex_small, (1024, 1024), interpolation=cv2.INTER_CUBIC
+        )
 
     period = n_frames / fps  # full sweep duration; frame i at i/fps
     rays = camera_rays(cam)
@@ -188,6 +193,9 @@ def write_euroc_sequence(
     cam1_dir = os.path.join(out_dir, "mav0", "cam1")
     if stereo_baseline > 0:
         os.makedirs(os.path.join(cam1_dir, "data"), exist_ok=True)
+    depth_dir = os.path.join(out_dir, "mav0", "depth0")
+    if with_depth:
+        os.makedirs(os.path.join(depth_dir, "data"), exist_ok=True)
     T_rl = np.eye(4)
     T_rl[0, 3] = -stereo_baseline  # p_right = p_left - b*ex
 
@@ -198,11 +206,23 @@ def write_euroc_sequence(
         T = np.eye(4)
         T[:3, :3] = R_cw
         T[:3, 3] = -R_cw @ p
-        img = render_textured_scene(
-            T, cam, texture, plane_z=2.0, plane_half=10.0, rays_c=rays
-        )
         t_ns = int(round(i / fps * 1e9))
         name = f"{t_ns}.png"
+        if with_depth:
+            img, depth, _ = render_textured_scene_with_depth(
+                T, cam, texture, plane_z=2.0, plane_half=10.0, rays_c=rays
+            )
+            # RGB-D convention: uint16 millimeters, 0 = invalid (the
+            # realsense D435i stream the reference's RGB-D-Inertial main
+            # consumes, Examples/RGB-D-Inertial/rgbd_inertial_realsense_D435i.cc)
+            cv2.imwrite(
+                os.path.join(depth_dir, "data", name),
+                np.clip(depth * 1000.0, 0, 65535).astype(np.uint16),
+            )
+        else:
+            img = render_textured_scene(
+                T, cam, texture, plane_z=2.0, plane_half=10.0, rays_c=rays
+            )
         cv2.imwrite(os.path.join(cam_dir, "data", name), img.astype(np.uint8))
         if stereo_baseline > 0:
             img_r = render_textured_scene(
@@ -217,6 +237,9 @@ def write_euroc_sequence(
         f.write("\n".join(lines) + "\n")
     if stereo_baseline > 0:
         with open(os.path.join(cam1_dir, "data.csv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    if with_depth:
+        with open(os.path.join(depth_dir, "data.csv"), "w") as f:
             f.write("\n".join(lines) + "\n")
 
     if with_imu:

@@ -46,6 +46,7 @@ class SyntheticFeatureWorld:
         self.noise_px = noise_px
         self.desc_flips = desc_flips
         self.n_levels = n_levels
+        self.max_depth = 50.0  # visibility range cap (meters)
 
     def observe(self, cam, T_cw, max_feats=None):
         """Render Features for camera pose T_cw (numpy-backed SE3)."""
@@ -58,7 +59,7 @@ class SyntheticFeatureWorld:
         uv = np.asarray(project(cam, jnp.asarray(pc)))
         vis = (
             (pc[:, 2] > 0.3)
-            & (pc[:, 2] < 50.0)
+            & (pc[:, 2] < self.max_depth)
             & (uv[:, 0] >= 10) & (uv[:, 0] < cam.width - 10)
             & (uv[:, 1] >= 10) & (uv[:, 1] < cam.height - 10)
         )

