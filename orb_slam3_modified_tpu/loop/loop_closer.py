@@ -44,6 +44,10 @@ class LoopCloserConfig:
     min_matches: int = 20  # point pairs required before Sim3
     min_sim3_inliers: int = 20
     consistency_needed: int = 3  # consecutive-KF confirmations
+    # minimum map size before detection runs (reference uses 12 keyframes,
+    # src/LoopClosing.cc:341-357; this framework's stronger culling keeps
+    # maps smaller, so the equivalent default is 10)
+    min_map_kfs: int = 10
     # essential-graph strong-covisibility edges (reference: minFeat=100,
     # src/Optimizer.cc:1560 region)
     covis_weight_strong: int = 100
@@ -106,11 +110,11 @@ class LoopCloser:
         m = self.map
         words = self._words_of(k)
         closed = False
-        # gate: map must have enough keyframes (reference uses 12; with this
-        # framework's stronger keyframe culling, maps stay denser in content
-        # but smaller in count, so 10 is the equivalent threshold)
         cur_fid = int(m.kf_frame_id[k])
-        if m.n_keyframes() >= 10 and cur_fid - self.last_loop_frame > 20:
+        if (
+            m.n_keyframes() >= self.cfg.min_map_kfs
+            and cur_fid - self.last_loop_frame > 20
+        ):
             cand = None
             if self.hypothesis is not None:
                 # refine the standing hypothesis directly against the new

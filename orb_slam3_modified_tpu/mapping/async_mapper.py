@@ -74,6 +74,24 @@ class AsyncLocalMapper:
             finally:
                 self.queue.task_done()
 
+    def wait_drained(self, max_backlog: int = 1, timeout: float = 60.0):
+        """Backpressure: block until the queue is at most max_backlog deep.
+
+        The reference's tracker effectively stalls behind LocalMapping via
+        mMutexMapUpdate and the stop/idle protocol; an unbounded queue here
+        instead lets keyframes go stale before triangulation/BA, which
+        silently degrades the map (measured: stereo scale drift once the
+        worker falls >2 keyframes behind). MUST be called WITHOUT the map
+        lock held (the worker needs it to make progress)."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        while (
+            self.queue.qsize() > max_backlog
+            and _time.monotonic() - t0 < timeout
+        ):
+            _time.sleep(0.002)
+
     def flush(self, timeout: float = 120.0):
         """Block until the queue drains (end of sequence / tests)."""
         self.queue.join()

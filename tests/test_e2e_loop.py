@@ -56,6 +56,202 @@ def loop_run():
     return tracker, slam_map, closer, est, np.array(gt)
 
 
+def _lookat_pose(c, target):
+    """Camera at c looking at target (same frame convention as
+    orbit_trajectory)."""
+    fwd = target - c
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, -1.0, 0.0])
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    up2 = np.cross(fwd, right)
+    R_cw = np.stack([right, up2, fwd], axis=1).T
+    return R_cw.astype(np.float32), (-R_cw @ c).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def two_loop_run():
+    """Two-ring course: circuit around ring A (loop 1), corridor transfer,
+    circuit around ring B (loop 2). Both closures live in one map, so the
+    second essential graph must include the first loop's persistent edge
+    (reference: KeyFrame::AddLoopEdge consumed by OptimizeEssentialGraph,
+    src/Optimizer.cc:1570 region). VERDICT r3 weak #5."""
+    import orb_slam3_modified_tpu.loop.loop_closer as lc_mod
+
+    rng = np.random.default_rng(11)
+    cB = np.array([-40.0, 0.0, 0.0])
+    wA = SyntheticFeatureWorld(
+        n_points=9000, spread=10.0, seed=11, feat_cap=768, noise_px=0.5,
+        layout="ring",
+    )
+    wB = SyntheticFeatureWorld(
+        n_points=9000, spread=10.0, seed=12, feat_cap=768, noise_px=0.5,
+        layout="ring",
+    )
+    # corridor BETWEEN the rings only (outside both interiors): circuit-A
+    # covisibility must decay around the loop, so no corridor point may be
+    # visible from the whole A orbit
+    corridor = np.stack(
+        [
+            rng.uniform(-36.0, -10.0, 4000),
+            rng.uniform(-4.0, 4.0, 4000),
+            rng.uniform(-5.0, 5.0, 4000),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    world = wA  # reuse observe() machinery with merged content
+    pts = np.concatenate([wA.points, wB.points + cB, corridor])
+    desc = np.concatenate(
+        [wA.desc, wB.desc,
+         rng.integers(0, 2**32, (4000, 8), dtype=np.uint32)]
+    )
+    # shuffle so the deterministic per-frame subsample is unbiased between
+    # regions (observe() keeps the lowest indices)
+    perm = rng.permutation(len(pts))
+    world.points = pts[perm]
+    world.desc = desc[perm]
+    world.max_depth = 20.0  # ring B invisible from ring A and vice versa
+    voc = build_vocabulary(world.desc[:6000], k=8, depth=3, seed=1)
+
+    # trajectory: A-orbit 2.5pi (113, ends at (4,·,0) looking -x) ->
+    # straight transfer to B's orbit entry (24, looking at B center) ->
+    # B-orbit 2.5pi (113)
+    poses = []
+    nA, nT, nB = 113, 36, 113
+    for i in range(nA):
+        a = 2.5 * np.pi * i / nA
+        c = np.array([4 * np.sin(a), 0.4 * np.sin(3 * a), -4 * np.cos(a)])
+        poses.append(_lookat_pose(c, np.zeros(3)))
+    for i in range(nT):
+        # weaving transfer: lateral motion gives the mono triangulation a
+        # baseline on the corridor points streaming by
+        x = 4.0 + (i + 1) * (-40.0 / nT)
+        z = 1.5 * np.sin(3 * np.pi * (i + 1) / nT)
+        c = np.array([x, 0.4, z])
+        poses.append(_lookat_pose(c, cB))
+    for i in range(nB):
+        a = np.pi / 2 + 2.5 * np.pi * i / nB
+        c = cB + np.array(
+            [4 * np.sin(a), 0.4 * np.sin(3 * a), -4 * np.cos(a)]
+        )
+        poses.append(_lookat_pose(c, cB))
+
+    slam_map = MapState.create(max_kf=256, max_mp=65536, feat_cap=768)
+    tcfg = TrackerConfig(cam=CAM)
+    tracker = Tracker(tcfg, slam_map)
+    # softer keyframe culling + a lower map-size gate: the course's loop
+    # anchors must survive long enough to be re-recognized (the default
+    # cull keeps the map hovering at the detection gate)
+    mapper = LocalMapper(
+        LocalMapperConfig(kf_cull_redundancy=0.97), tcfg, slam_map
+    )
+    closer = LoopCloser(LoopCloserConfig(min_map_kfs=8), tcfg, voc, slam_map)
+    # spy: weight-3.0 edges = historical + current loop constraints. On the
+    # test's virtual 8-device mesh the essential graph routes through the
+    # SHARDED solver, so both entry points are wrapped.
+    import orb_slam3_modified_tpu.parallel.dist_pose_graph as dpg_mod
+
+    loop_edge_counts = []
+    orig_opt = lc_mod.optimize_pose_graph
+    orig_dist = dpg_mod.dist_optimize_pose_graph
+
+    def count(prob):
+        loop_edge_counts.append(
+            int((np.asarray(prob.edge_weight) == 3.0).sum())
+        )
+
+    def spy(prob, four_dof, iters):
+        count(prob)
+        return orig_opt(prob, four_dof, iters)
+
+    def spy_dist(prob, mesh, four_dof=False, iters=20):
+        count(prob)
+        return orig_dist(prob, mesh, four_dof, iters)
+
+    lc_mod.optimize_pose_graph = spy
+    dpg_mod.dist_optimize_pose_graph = spy_dist
+
+    def on_kf(k):
+        mapper.on_keyframe(k)
+        closer.on_keyframe(k)
+
+    tracker.on_keyframe = on_kf
+    gt_all = {}
+    ate_after_first = []
+    n_loops_seen = 0
+    try:
+        for i, (R_cw, t_cw) in enumerate(poses):
+            T_cw = SE3(R_cw, t_cw)
+            feats, _ = world.observe(CAM, T_cw, max_feats=600)
+            tracker.track(feats, ts=i * 0.05)
+            gt_all[i] = np.asarray(T_cw.inverse().t)
+            if closer.n_loops_closed == 1 and n_loops_seen == 0:
+                n_loops_seen = 1
+                # snapshot circuit-A accuracy right after the first closure
+                estA = [
+                    (fid, T)
+                    for ts, fid, T in tracker.absolute_trajectory()
+                    if fid < nA
+                ]
+                posA = np.array(
+                    [np.linalg.inv(T)[:3, 3] for _, T in estA]
+                )
+                gtA = np.array([gt_all[f] for f, _ in estA])
+                ate_after_first.append(ate_rmse(posA, gtA)[0])
+    finally:
+        lc_mod.optimize_pose_graph = orig_opt
+        dpg_mod.dist_optimize_pose_graph = orig_dist
+    est, gt = [], []
+    for ts, fid, T in tracker.absolute_trajectory():
+        est.append((fid, T))
+        gt.append(gt_all[fid])
+    return (
+        tracker, slam_map, closer, est, np.array(gt),
+        loop_edge_counts, ate_after_first, nA,
+    )
+
+
+class TestTwoLoops:
+    def test_both_loops_closed(self, two_loop_run):
+        _, _, closer, est, gt, counts, _, _ = two_loop_run
+        assert len(est) >= 220, f"tracked {len(est)}"
+        assert closer.n_loops_closed >= 2, (
+            f"only {closer.n_loops_closed} loops closed"
+        )
+
+    def test_second_graph_includes_first_loop_edge(self, two_loop_run):
+        _, slam_map, closer, _, _, counts, _, _ = two_loop_run
+        # the persistent edge list carries both closures
+        assert len(slam_map.valid_loop_edges()) >= 2
+        # the SECOND correction's essential graph carried >= 2 loop-weight
+        # edges: its own + the first closure's persistent edge
+        assert len(counts) >= 2
+        assert counts[1] >= 2, (
+            f"second essential graph had only {counts[1]} loop edges"
+        )
+
+    def test_second_loop_does_not_regress_first(self, two_loop_run):
+        _, _, _, est, gt, _, ate_first, nA = two_loop_run
+        assert ate_first, "first-loop ATE snapshot missing"
+        selA = [i for i, (fid, _) in enumerate(est) if fid < nA]
+        posA = np.array([np.linalg.inv(est[i][1])[:3, 3] for i in selA])
+        rmseA, _ = ate_rmse(posA, gt[selA])
+        print(f"[two-loop] circuit-A ATE after loop1 {ate_first[0]:.3f}, "
+              f"final {rmseA:.3f}")
+        # final circuit-A accuracy must not be materially worse than right
+        # after its own closure
+        assert rmseA < max(2.0 * ate_first[0], 0.25), (
+            f"second loop regressed circuit A: {ate_first[0]:.3f} -> {rmseA:.3f}"
+        )
+
+    def test_overall_ate(self, two_loop_run):
+        _, _, _, est, gt, _, _, _ = two_loop_run
+        pos = np.array([np.linalg.inv(T)[:3, 3] for _, T in est])
+        rmse, _ = ate_rmse(pos, gt)
+        print(f"[two-loop] overall ATE {rmse:.3f}")
+        assert rmse < 0.5, f"two-loop course ATE {rmse}"
+
+
 class TestLoopClosure:
     def test_survives_full_circle(self, loop_run):
         tracker, slam_map, closer, est, gt = loop_run
