@@ -64,7 +64,10 @@ class AsyncLocalMapper:
                 m = self.mapper.map
                 if not m.kf_valid[k] or int(m.kf_frame_id[k]) != fid:
                     continue  # slot culled (or culled+reused) since enqueue
-                self.mapper.on_keyframe(k)  # locks its phases internally
+                # reference parity: local BA only at queue quiescence
+                # (src/LocalMapping.cc:148-155); a backlog defers the solve,
+                # never the map growth
+                self.mapper.on_keyframe(k, skip_ba=not self.queue.empty())
                 if self.post_fn is not None:
                     with self.lock:
                         self.post_fn(k)

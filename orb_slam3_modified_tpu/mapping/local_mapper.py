@@ -67,7 +67,12 @@ class LocalMapper:
         # window refinement after visual BA
         self.imu = None
 
-    def on_keyframe(self, k: int):
+    def on_keyframe(self, k: int, skip_ba: bool = False):
+        """Process one keyframe. skip_ba mirrors the reference's mapping
+        loop: LocalMapping runs the local BA ONLY when its keyframe queue is
+        empty (src/LocalMapping.cc:148-155 `if(!CheckNewKeyFrames())`) —
+        under a backlog, triangulation/fusion/culling still run per
+        keyframe so the map keeps up, and the solve lands at quiescence."""
         m = self.map
         if m.n_keyframes() < 2:
             return
@@ -81,6 +86,10 @@ class LocalMapper:
             self.recent_points.append((new_pts, k))
         with self.stats.measure("fuse"):
             self._fuse_neighbors(k)  # snapshot/compute/commit inside
+        if skip_ba:
+            with self.stats.measure("kf_cull"), self.lock:
+                self._cull_keyframes(k)
+            return
         if m.n_keyframes() > 2:
             # once the IMU is initialized the temporal-window VI BA REPLACES
             # the visual local BA (reference: LocalMapping::Run picks

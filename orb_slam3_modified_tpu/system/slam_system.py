@@ -376,10 +376,18 @@ class SlamSystem:
             stereo=stereo, min_z=self.cfg.min_depth,
         )
         if async_mapping:
-            # bounded pipeline: the tracker may run at most one keyframe
-            # ahead of the mapper (unbounded backlogs let keyframes go
-            # stale before triangulation/BA and the map silently degrades)
-            ct.throttle_fn = self.async_mapper.wait_drained
+            # bounded pipeline: the tracker may run a couple of keyframes
+            # ahead of the mapper, no more (unbounded backlogs let keyframes
+            # go stale before triangulation/BA and the map silently
+            # degrades — measured as stereo scale drift). The bound is soft:
+            # a capped wait keeps throughput when the mapper is merely slow
+            # rather than wedged.
+            # last-resort only: with BA deferred under backlog (reference
+            # parity), the worker keeps up at triangulation cost; the wait
+            # engages only when the queue grows pathological
+            ct.throttle_fn = lambda: self.async_mapper.wait_drained(
+                max_backlog=4, timeout=1.0
+            )
         return ct
 
     def _handle_loss(self):
