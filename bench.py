@@ -94,9 +94,12 @@ def main_vi(mode: str):
     root = f"/tmp/bench_viseq_{mode}"
     t_render = time.perf_counter()
     if not os.path.exists(os.path.join(root, "mav0", "imu0", "data.csv")):
+        # same scene family as the mono bench: a gentle arc over the
+        # always-visible textured plane (throughput benchmark; frontier
+        # robustness is gated by the ring e2e tests)
         write_euroc_sequence(
-            root, cam, n_frames=n_frames, fps=fps_cam, radius=3.0,
-            closed_loop=True, with_imu=True,
+            root, cam, n_frames=n_frames, fps=fps_cam, radius=4.0,
+            sweep=np.pi / 2, with_imu=True,
             stereo_baseline=baseline if stereo else 0.0,
         )
     ds = EurocDataset(root, stereo=stereo, with_imu=True)
@@ -128,7 +131,7 @@ def main_vi(mode: str):
 
     frames = list(ds)
     # warm through mono init + IMU staged init + the VI chunk compile
-    n_warm = 128
+    n_warm = 160
     prev_ts = None
     retired = []
     t_w = time.perf_counter()

@@ -49,10 +49,12 @@ class AsyncLocalMapper:
         """Backlogged, not merely working: with a continuous keyframe stream
         the worker is almost always mid-cycle, and reporting busy then
         suppresses the tracked-ratio keyframe trigger for whole chunks
-        (reference gate: bLocalMappingIdle only blocks insertion when the
-        mapper actually has a QUEUE, src/Tracking.cc:3099 region — an
-        in-progress cycle still accepts interrupts)."""
-        return self.queue.qsize() >= 2
+        (reference gate: with the mapper busy, NeedNewKeyFrame still
+        inserts while KeyframesInQueue() < 3 after InterruptBA,
+        src/Tracking.cc:3099 region — an in-progress cycle accepts
+        interrupts; our BA deferral under backlog is the InterruptBA
+        analog)."""
+        return self.queue.qsize() >= 3
 
     def _run(self):
         while not self._stop:

@@ -127,8 +127,10 @@ class LocalMapper:
         fixed = np.zeros(K, bool)
         fixed[0] = True
         with self.lock:
+            # pinned obs bucket (one compile per session; see _pad_problem)
             prob, kfs_np, mp_sel = build_vi_problem(
-                m, self.tcfg, kfs, pres, fixed, 0.0, 0.0, imu.cfg
+                m, self.tcfg, kfs, pres, fixed, 0.0, 0.0, imu.cfg,
+                obs_bucket=8192,
             )
         res = vi_bundle_adjust(prob, self.tcfg.cam, 2, 6)
         res = fetch(res)  # overlapped readback, sync OUTSIDE the lock

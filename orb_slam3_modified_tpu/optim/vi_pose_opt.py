@@ -248,9 +248,14 @@ def vi_pose_optimization_marg(
         vc = v_cur0 + dv_c
         return (Rp, pp, vp, dbg_p, dba_p), (Rc, pc_, vc, dbg_c, dba_c)
 
-    def residuals(x):
-        (Rp, pp, vp, dbg_p, dba_p), (Rc, pc_b, vc, dbg_c, dba_c) = unpack(x)
-        # visual block on the current camera pose (body -> camera via T_bc)
+    def visual_residuals(z6):
+        """Visual rows as a function of ONLY the current-pose increment
+        x[15:21]. Splitting this out lets the GN jacobian run forward-mode
+        over 6 tangents instead of 30 — the visual block carries thousands
+        of rows and dominated the old full-x jacfwd 5x (hot path: the
+        chunked VI device step runs this twice per frame)."""
+        Rc = R_cur0 @ so3.exp(z6[:3])
+        pc_b = p_cur0 + z6[3:6]
         R_cw, t_cw = _cam_from_body(Rc, pc_b, R_bc, t_bc)
         pcam = pts_w @ R_cw.T + t_cw
         uv = project(cam, pcam)
@@ -258,8 +263,12 @@ def vi_pose_optimization_marg(
         chi2 = jnp.sum(r * r, axis=-1)
         w_rob = jnp.sqrt(huber_weight(chi2, DELTA_MONO))
         w = valid.astype(r.dtype) * (pcam[..., 2] > 0.05)
-        r_vis = (r * (w * w_rob)[:, None]).reshape(-1)
-        # inertial residual prev->cur at the previous bias + its delta
+        return (r * (w * w_rob)[:, None]).reshape(-1)
+
+    def small_residuals(x):
+        """Inertial + random-walk + prior rows (30 of them): full-x
+        jacobian stays forward-mode but over a tiny output."""
+        (Rp, pp, vp, dbg_p, dba_p), (Rc, pc_b, vc, dbg_c, dba_c) = unpack(x)
         dR_c = dR @ so3.exp(JRg @ dbg_p)
         dV_c = dV + JVg @ dbg_p + JVa @ dba_p
         dP_c = dP + JPg @ dbg_p + JPa @ dba_p
@@ -268,22 +277,39 @@ def vi_pose_optimization_marg(
         r_v = RiT @ (vc - vp - GRAVITY_VEC * dT) - dV_c
         r_p = RiT @ (pc_b - pp - vp * dT - 0.5 * GRAVITY_VEC * dT * dT) - dP_c
         r_inert = L_inert.T @ jnp.concatenate([r_R, r_v, r_p])
-        # bias random walk between the two states
         r_rw = L_rw.T @ jnp.concatenate([dbg_c - dbg_p, dba_c - dba_p])
-        # 15-D prior on the previous state (anchored at zero deltas)
         r_prior = L_prior.T @ x[:15]
-        return jnp.concatenate([r_vis, r_inert, r_rw, r_prior])
+        return jnp.concatenate([r_inert, r_rw, r_prior])
+
+    def residuals(x):
+        return jnp.concatenate([visual_residuals(x[15:21]), small_residuals(x)])
+
+    def system_at(x):
+        """(H, b, cost) of the full residual, with the visual jacobian
+        evaluated over its 6 live dims only and scattered into the 30x30."""
+        rv = visual_residuals(x[15:21])
+        Jv = jax.jacfwd(visual_residuals)(x[15:21])  # (N2, 6)
+        rs = small_residuals(x)
+        Js = jax.jacfwd(small_residuals)(x)  # (30, 30)
+        H = Js.T @ Js
+        H = H.at[15:21, 15:21].add(Jv.T @ Jv)
+        b = Js.T @ rs
+        b = b.at[15:21].add(Jv.T @ rv)
+        cost = jnp.sum(rv * rv) + jnp.sum(rs * rs)
+        return H, b, cost
+
+    def cost_at(x):
+        rv = visual_residuals(x[15:21])
+        rs = small_residuals(x)
+        return jnp.sum(rv * rv) + jnp.sum(rs * rs)
 
     def gn_step(_, carry):
         x, lam = carry
-        r = residuals(x)
-        J = jax.jacfwd(residuals)(x)
-        H = J.T @ J
-        b = J.T @ r
+        H, b, cost = system_at(x)
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(30)
         dx = -jnp.linalg.solve(Hd, b)
         x_new = x + dx
-        good = jnp.sum(residuals(x_new) ** 2) < jnp.sum(r * r)
+        good = cost_at(x_new) < cost
         x = jnp.where(good, x_new, x)
         lam = jnp.where(good, lam * 0.5, lam * 4.0)
         return x, lam
@@ -300,8 +326,7 @@ def vi_pose_optimization_marg(
     chi2 = jnp.sum((uv - uv_obs) ** 2, axis=-1) * inv_s2
     inl = valid & (chi2 < CHI2_MONO) & (pcam[..., 2] > 0)
     # marginalize the previous state out of the final Hessian
-    J = jax.jacfwd(residuals)(x)
-    H = J.T @ J
+    H, _, _ = system_at(x)
     H_pp = H[:15, :15] + 1e-6 * jnp.eye(15)
     H_cc = H[15:, 15:]
     H_cp = H[15:, :15]

@@ -40,6 +40,10 @@ def main(argv=None):
                    help="chunk-pipelined frontend (mono/stereo, visual or "
                         "visual-inertial; tracking/chunked.py)")
     p.add_argument("--chunk-size", type=int, default=16)
+    p.add_argument("--sync-mapping", action="store_true",
+                   help="run local mapping synchronously at keyframe time "
+                        "(deterministic; default overlaps it on a worker "
+                        "thread like the reference's LocalMapping thread)")
     p.add_argument("--semantic-out", default=None,
                    help="write a colored semantic PLY cloud: replays posed "
                         "frames through the packaged depth+segmentation net "
@@ -169,6 +173,7 @@ def main(argv=None):
         chunk_fe = slam.make_chunked_frontend(
             chunk=args.chunk_size, lag=1,
             stereo="stereo" in args.sensor,
+            async_mapping=not args.sync_mapping,
         )
 
     n_done = 0

@@ -388,6 +388,9 @@ class SlamSystem:
             ct.throttle_fn = lambda: self.async_mapper.wait_drained(
                 max_backlog=4, timeout=1.0
             )
+        # Atlas recovery on LOST (multi-map handoff) — same policy as the
+        # per-frame entry points
+        ct.loss_fn = self._handle_loss
         return ct
 
     def _handle_loss(self):

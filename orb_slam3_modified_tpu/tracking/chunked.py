@@ -108,9 +108,26 @@ def make_chunk_step_stereo(
     return chunk_step
 
 
+def _fix_outs(outs, start, A, s_al, vi):
+    """Apply a world similarity (R_cw' = R_cw A^T, t' = s t, v' = s A v) to
+    per-frame chunk outputs from index `start` on (numpy, post-materialize).
+    Used when the staged IMU init re-aligns the world while chunks are in
+    flight — the correction is exact, replay-free."""
+    R = np.array(outs.R)
+    t = np.array(outs.t)
+    R[start:] = R[start:] @ A.T
+    t[start:] = s_al * t[start:]
+    if vi:
+        v = np.array(outs.v_w)
+        v[start:] = s_al * v[start:] @ A.T
+        return outs._replace(R=R, t=t, v_w=v)
+    return outs._replace(R=R, t=t)
+
+
 class _PendingChunk:
     __slots__ = ("fids", "tss", "n_valid", "outs", "feats", "cache_ids",
-                 "imgs", "imgs_r", "urs", "depths", "imu", "pres", "vi")
+                 "imgs", "imgs_r", "urs", "depths", "imu", "pres", "vi",
+                 "world_fix")
 
     def __init__(self, fids, tss, n_valid, outs, feats, cache_ids, imgs,
                  imgs_r=None, urs=None, depths=None, imu=None, pres=None,
@@ -128,6 +145,7 @@ class _PendingChunk:
         self.imu = imu  # host (acc, gyro, dts, valid) stacks, for replay
         self.pres = pres  # per-frame Preintegrated (pre-init phase)
         self.vi = vi  # outs is a VIStepOutput
+        self.world_fix = []  # [(A, s)] similarities applied at retire
 
 
 class ChunkedTracker:
@@ -188,6 +206,11 @@ class ChunkedTracker:
         # optional backpressure hook (async mapper wait_drained): called
         # after keyframe creation, OUTSIDE the map lock
         self.throttle_fn = None
+        # optional loss handler (SlamSystem._handle_loss): Atlas multi-map
+        # recovery on LOST — without it a chunked run that exhausts the
+        # RECENTLY_LOST budget is stuck LOST forever (reference:
+        # CreateMapInAtlas on loss, src/Tracking.cc:2020-2026)
+        self.loss_fn = None
 
     # ------------------------------------------------------------- cache
     def refresh_cache(self):
@@ -259,6 +282,43 @@ class ChunkedTracker:
             H_prior=jnp.asarray(
                 imu.marg_prior if imu.marg_prior is not None else _FIXED_INFO
             ),
+            ok=jnp.asarray(True),
+        )
+
+    def _fix_device_state(self, A, s_al):
+        """Apply the world similarity to the device-resident state."""
+        from .vi_fused import _FIXED_INFO, VITrackState
+
+        Aj = jnp.asarray(A)
+        if isinstance(self.state, VITrackState):
+            return self.state._replace(
+                R=self.state.R @ Aj.T,
+                t=s_al * self.state.t,
+                v_w=s_al * (Aj @ self.state.v_w),
+                H_prior=jnp.asarray(_FIXED_INFO),  # tangent frame rotated
+            )
+        return DeviceTrackState(
+            R=self.state.R @ Aj.T,
+            t=s_al * self.state.t,
+            R_prev=self.state.R_prev @ Aj.T,
+            t_prev=s_al * self.state.t_prev,
+            ok=self.state.ok,
+        )
+
+    def _vi_state_from_device(self, A, s_al):
+        """First VI device state: the (similarity-corrected) visual pipeline
+        head pose + the frontend's freshly initialized velocity/bias."""
+        from .vi_fused import _FIXED_INFO, VITrackState
+
+        imu = self.imu
+        Aj = jnp.asarray(A)
+        return VITrackState(
+            R=self.state.R @ Aj.T,
+            t=s_al * self.state.t,
+            v_w=jnp.asarray(np.asarray(imu.v_w, np.float32)),
+            bg=jnp.asarray(np.asarray(imu.bias.bg, np.float32)),
+            ba=jnp.asarray(np.asarray(imu.bias.ba, np.float32)),
+            H_prior=jnp.asarray(_FIXED_INFO),
             ok=jnp.asarray(True),
         )
 
@@ -415,7 +475,10 @@ class ChunkedTracker:
             fid = t.frame_id
             T = t.track(feats, ts, depth=depth, ur=ur,
                         imu_samples=imu_samples)
-            from .tracker import OK
+            from .tracker import LOST, OK
+
+            if t.state == LOST and self.loss_fn is not None:
+                self.loss_fn()  # Atlas recovery: store map / start fresh
 
             if t.state == OK:
                 if self.imu is not None and self.imu.initialized and not self._vi:
@@ -585,6 +648,8 @@ class ChunkedTracker:
                 p.depths = np.asarray(p.depths)
             if p.pres is not None:
                 p.pres = jax.tree_util.tree_map(np.asarray, p.pres)
+            for A, s_al in p.world_fix:
+                p.outs = _fix_outs(p.outs, 0, A, s_al, p.vi)
         results = []
         with self.stats.measure("retire_host"):
             return self._retire_frames(p, results)
@@ -758,20 +823,27 @@ class ChunkedTracker:
                         t._create_keyframe(rec)
                     if imu is not None and imu.stage != stage_pre:
                         # staged IMU init / VIBA refinement just re-aligned
-                        # (and for mono rescaled) the whole world. In-flight
-                        # chunks were computed in the OLD world — retiring
-                        # them would poison the map with stale-scale poses.
-                        # Replay them through the per-frame path against the
-                        # corrected map (it hands frames back to the fast
-                        # path as soon as one frame confirms tracking).
+                        # (and for mono rescaled) the whole world by a KNOWN
+                        # similarity. In-flight chunks were computed in the
+                        # OLD world; apply the same similarity to their
+                        # results and to the device state instead of the
+                        # (seconds-per-frame) slow-path replay.
+                        A, s_al = imu.last_alignment
+                        p.outs = _fix_outs(p.outs, i + 1, A, s_al, p.vi)
+                        # rebind the loop's views onto the fixed arrays
+                        if p.vi:
+                            R_all, t_all = p.outs.R, p.outs.t
+                        else:
+                            R_all, t_all = p.outs[0], p.outs[1]
+                        for q in self._pending:
+                            q.world_fix.append((A, s_al))
                         if imu.initialized and not self._vi:
                             self._vi = True  # switch to the VI chunk step
-                        self._step = None
-                        self.state = None
-                        self.cache = None
-                        results.append((fid, ts, T_abs))
-                        results += self._replay_after_loss(p, i + 1)
-                        return results
+                            self._step = None
+                            self.state = self._vi_state_from_device(A, s_al)
+                        elif self.state is not None:
+                            self.state = self._fix_device_state(A, s_al)
+                        self.refresh_cache()
                     else:
                         # local BA may have moved the new keyframe: propagate
                         # the correction W into the device-resident state

@@ -239,8 +239,13 @@ class ImuFrontend:
         return kfs2, pres2
 
     def maybe_initialize(self, slam_map, tracker) -> bool:
-        """Staged IMU init on the keyframe chain (InitializeIMU analog)."""
-        if self.first_kf_ts is None or len(self.kf_chain) < 4:
+        """Staged IMU init on the keyframe chain (InitializeIMU analog).
+
+        The chain must be substantial before solving gravity/scale — the
+        reference requires nMinKF = 10 keyframes (InitializeIMU,
+        src/LocalMapping.cc:1187 region); initializing on a starved map
+        produces degenerate alignments that wreck tracking."""
+        if self.first_kf_ts is None or len(self.kf_chain) < 10:
             return False
         last_ts = slam_map.kf_ts[self.kf_chain[-1][0]]
         # (timestamp of the newest chain entry; slot reuse handled below)
@@ -255,7 +260,7 @@ class ImuFrontend:
             return False
 
         kfs2, pres2 = self.valid_chain(slam_map)
-        if len(kfs2) < 4:
+        if len(kfs2) < 6:
             return False
         chain = InertialChain.from_preintegrated(pres2[1:])
         R_bc = self.cfg.R_bc
@@ -294,6 +299,10 @@ class ImuFrontend:
         if fix_scale:
             scale = 1.0
         _apply_scaled_rotation(slam_map, R_wg.T, scale)
+        # record the applied similarity so pipelined frontends can correct
+        # in-flight results analytically instead of replaying them
+        # (world' : R_cw' = R_cw A^T, t' = s t, v' = s A v, A = R_wg^T)
+        self.last_alignment = (R_wg.T.astype(np.float32), float(scale))
         # velocities come out in the pre-alignment frame at true scale
         v_new = np.asarray(res.v_w) @ R_wg  # rotate into aligned frame
         for i, k in enumerate(kfs2):
@@ -336,9 +345,12 @@ class ImuFrontend:
         if tracker is None:
             return
         tcfg = tracker.cfg
+        # pinned buckets: staged-init solves grow run to run, and a fresh
+        # power-of-two bucket is a fresh XLA compile (minutes on remote
+        # backends) right in the tracking hot path
         prob, kfs_np, mp_sel = build_vi_problem(
             slam_map, tcfg, kfs, pres, fixed, prior_g, prior_a, self.cfg,
-            state_fixed=np.zeros(len(kfs), bool),
+            obs_bucket=16384, state_fixed=np.zeros(len(kfs), bool),
         )
         res = vi_bundle_adjust(prob, tcfg.cam, 2, 10)
         write_back_vi(slam_map, res, kfs_np, mp_sel)

@@ -844,11 +844,12 @@ class Tracker:
             return False
         n_ref = len(m.observations_of_kf(self.ref_kf)[0])
         max_gap = self.cfg.max_frames_between_kf
-        if self.imu is not None and self.imu.initialized:
+        if self.imu is not None:
             # inertial rule: insert a keyframe at least every 0.5 s so the
-            # preintegration chain stays short and well-conditioned
+            # preintegration chain stays short and well-conditioned — and,
+            # pre-init, so the chain reaches the nMinKF=10 init gate quickly
             # (reference: NeedNewKeyFrame's (t-mpLastKeyFrame->mTimeStamp)
-            # >= 0.5 condition for IMU maps, src/Tracking.cc:3067 region)
+            # >= 0.5 condition for IMU sensors, src/Tracking.cc:3067 region)
             max_gap = max(1, max_gap // 2)
         c1 = self.frames_since_kf >= max_gap
         c2 = n_inl < self.cfg.kf_tracked_ratio * max(n_ref, 1)

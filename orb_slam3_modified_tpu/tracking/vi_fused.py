@@ -99,6 +99,8 @@ def make_vi_step_body(
     freq = float(imu_cfg.freq)
     fixed_info = jnp.asarray(_FIXED_INFO)
 
+    from .fused import CACHE_CAP as cache_cap_static
+
     def vi_track_step(
         state: VITrackState,
         cache: MapCache,
@@ -141,18 +143,31 @@ def make_vi_step_body(
             keep = resolve_duplicate_targets(idx, okm, dist, feat_cap)
             return idx, keep
 
+        # the solve runs over a COMPACTED row set: matches are at most
+        # feat_cap (each feature claims one cache row), so gathering the
+        # matched rows to the front loses nothing and cuts the visual
+        # block of the joint solve ~cache/feat_cap x (the residual rows
+        # dominate its cost)
+        n_rows = min(feat_cap, int(cache_cap_static))
+
         def vi_solve(T_seed, idx, keep):
+            order = jnp.argsort(-keep.astype(jnp.int32))  # matched first
+            sel = order[:n_rows]
+            idx_s = idx[sel]
             inv_s2 = inv_s2_levels[
-                jnp.clip(f_level[idx], 0, inv_s2_levels.shape[0] - 1)
+                jnp.clip(f_level[idx_s], 0, inv_s2_levels.shape[0] - 1)
             ]
-            return vi_pose_optimization_marg(
-                T_seed, cam, cache.pos, f_uv[idx], inv_s2, keep,
+            res = vi_pose_optimization_marg(
+                T_seed, cam, cache.pos[sel], f_uv[idx_s], inv_s2, keep[sel],
                 R_wb_prev, p_wb_prev, state.v_w,
                 state.H_prior,
                 pre.dT, pre.dR, pre.dV, pre.dP,
                 pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa,
                 C=pre.C, iters=iters, R_bc=R_bc, t_bc=t_bc,
             )
+            # scatter inliers back to full cache rows
+            inl_full = jnp.zeros(keep.shape[0], bool).at[sel].set(res.inliers)
+            return res._replace(inliers=inl_full)
 
         idx1, keep1 = match(T_pred, 15.0)
         res1 = vi_solve(T_pred, idx1, keep1)
