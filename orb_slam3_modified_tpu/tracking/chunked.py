@@ -199,7 +199,6 @@ class ChunkedTracker:
         # ---- visual-inertial pipeline state (VERDICT r3 missing #2)
         self.imu = tracker.imu  # ImuFrontend or None
         self._vi = False  # True once the IMU is initialized (VI chunk step)
-        self._accum = None  # merged Preintegrated since the last keyframe
         self._imu_cap = 64  # padded IMU samples per frame gap
         self._dr_streak = 0  # consecutive in-chunk dead-reckoned frames
         self.dr_budget = 24  # ~1.2 s of IMU-bridged blackout before replay
