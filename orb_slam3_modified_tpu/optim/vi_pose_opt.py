@@ -25,7 +25,7 @@ from ..cameras import Camera, project
 from ..imu.preintegration import GRAVITY_VEC
 from ..lie import se3, so3
 from ..lie.se3 import SE3
-from .robust import CHI2_MONO, DELTA_MONO, huber_weight
+from .robust import CHI2_MONO, CHI2_STEREO, DELTA_MONO, DELTA_STEREO, huber_weight
 
 
 class VIPoseResult(NamedTuple):
@@ -190,6 +190,8 @@ def vi_pose_optimization_marg(
     iters: int = 8,
     R_bc=None,  # camera-to-body extrinsics; None = identity rig
     t_bc=None,
+    ur_obs=None,  # (N,) right-image u for rectified stereo (<0 = mono row)
+    bf=None,  # baseline * fx; enables the (u, v, uR) EdgeStereo rows
 ):
     """Joint {previous, current} 30-D visual-inertial frame solve.
 
@@ -253,15 +255,30 @@ def vi_pose_optimization_marg(
         x[15:21]. Splitting this out lets the GN jacobian run forward-mode
         over 6 tangents instead of 30 — the visual block carries thousands
         of rows and dominated the old full-x jacfwd 5x (hot path: the
-        chunked VI device step runs this twice per frame)."""
+        chunked VI device step runs this twice per frame).
+
+        With ur_obs/bf, rows with ur_obs >= 0 additionally carry the
+        rectified-stereo residual uR_pred - uR (reference:
+        EdgeStereoOnlyPose in the inertial frame solves,
+        include/G2oTypes.h:442)."""
         Rc = R_cur0 @ so3.exp(z6[:3])
         pc_b = p_cur0 + z6[3:6]
         R_cw, t_cw = _cam_from_body(Rc, pc_b, R_bc, t_bc)
         pcam = pts_w @ R_cw.T + t_cw
         uv = project(cam, pcam)
-        r = (uv - uv_obs) * jnp.sqrt(jnp.maximum(inv_s2, 1e-9))[:, None]
+        sq = jnp.sqrt(jnp.maximum(inv_s2, 1e-9))
+        r = (uv - uv_obs) * sq[:, None]
+        if ur_obs is not None:
+            z = jnp.maximum(pcam[..., 2], 1e-6)
+            ur_pred = uv[..., 0] - bf / z
+            is_st = ur_obs >= 0
+            r3 = jnp.where(is_st, (ur_pred - ur_obs) * sq, 0.0)
+            r = jnp.concatenate([r, r3[:, None]], axis=-1)
+            delta = jnp.where(is_st, DELTA_STEREO, DELTA_MONO)
+        else:
+            delta = DELTA_MONO
         chi2 = jnp.sum(r * r, axis=-1)
-        w_rob = jnp.sqrt(huber_weight(chi2, DELTA_MONO))
+        w_rob = jnp.sqrt(huber_weight(chi2, delta))
         w = valid.astype(r.dtype) * (pcam[..., 2] > 0.05)
         return (r * (w * w_rob)[:, None]).reshape(-1)
 
@@ -324,7 +341,14 @@ def vi_pose_optimization_marg(
     pcam = pts_w @ R_cw.T + t_cw
     uv = project(cam, pcam)
     chi2 = jnp.sum((uv - uv_obs) ** 2, axis=-1) * inv_s2
-    inl = valid & (chi2 < CHI2_MONO) & (pcam[..., 2] > 0)
+    if ur_obs is not None:
+        z = jnp.maximum(pcam[..., 2], 1e-6)
+        r3 = jnp.where(ur_obs >= 0, uv[..., 0] - bf / z - ur_obs, 0.0)
+        chi2 = chi2 + r3 * r3 * inv_s2
+        thr = jnp.where(ur_obs >= 0, CHI2_STEREO, CHI2_MONO)
+    else:
+        thr = CHI2_MONO
+    inl = valid & (chi2 < thr) & (pcam[..., 2] > 0)
     # marginalize the previous state out of the final Hessian
     H, _, _ = system_at(x)
     H_pp = H[:15, :15] + 1e-6 * jnp.eye(15)

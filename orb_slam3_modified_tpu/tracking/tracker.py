@@ -606,6 +606,10 @@ class Tracker:
                 C=pre.C,
                 R_bc=jnp.asarray(R_bc),
                 t_bc=jnp.asarray(t_bc),
+                # stereo rows (reference: the inertial frame solves carry
+                # EdgeStereoOnlyPose rows, include/G2oTypes.h:442)
+                ur_obs=ur_p,
+                bf=None if ur_p is None else jnp.asarray(self.cfg.bf, jnp.float32),
             )
             res = fetch(res)
             imu._pred_v = res.v_w

@@ -164,6 +164,10 @@ def make_vi_step_body(
                 pre.dT, pre.dR, pre.dV, pre.dP,
                 pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa,
                 C=pre.C, iters=iters, R_bc=R_bc, t_bc=t_bc,
+                # rectified-stereo rows (reference: EdgeStereoOnlyPose in
+                # the inertial frame solves)
+                ur_obs=None if (f_ur is None or bf <= 0) else f_ur[idx_s],
+                bf=None if (f_ur is None or bf <= 0) else jnp.float32(bf),
             )
             # scatter inliers back to full cache rows
             inl_full = jnp.zeros(keep.shape[0], bool).at[sel].set(res.inliers)
