@@ -31,6 +31,12 @@ class AsyncLocalMapper:
         # reference pipeline order LocalMapping -> LoopClosing
         # (src/LocalMapping.cc:255 region enqueues to the loop thread).
         self.post_fn = post_fn
+        # init_fn(): staged IMU init hook, run after each keyframe's mapping
+        # cycle on THIS worker thread (reference: LocalMapping::Run order —
+        # local BA, then InitializeIMU/VIBA/ScaleRefinement,
+        # src/LocalMapping.cc:148-244). The hook manages its own locking:
+        # snapshot/commit under the map lock, solves unlocked.
+        self.init_fn = None
         self.queue: queue.Queue = queue.Queue()
         self._stop = False
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -70,6 +76,8 @@ class AsyncLocalMapper:
                 # (src/LocalMapping.cc:148-155); a backlog defers the solve,
                 # never the map growth
                 self.mapper.on_keyframe(k, skip_ba=not self.queue.empty())
+                if self.init_fn is not None:
+                    self.init_fn()
                 if self.post_fn is not None:
                     with self.lock:
                         self.post_fn(k)

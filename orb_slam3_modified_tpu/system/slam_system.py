@@ -204,6 +204,8 @@ class SlamSystem:
             t.imu.bad_imu = False
             t.imu.t_motion = 0.0
             t.imu.v_w = np.zeros(3, np.float32)
+            t.imu.refine_idx = 0
+            t.imu._epoch += 1  # in-flight async init solves abort at commit
 
     def _relocalize(self, feats, frame_id):
         from ..loop.relocalization import relocalize
@@ -371,6 +373,20 @@ class SlamSystem:
                 # (reference: transient GBA thread, src/LoopClosing.cc:1199)
                 self.closer.map_lock = am.lock
                 self.closer.cfg.gba_async = True
+            imu = self.tracker.imu
+            if imu is not None:
+                # staged IMU init runs on the mapper worker, off the
+                # tracker's critical path (reference: InitializeIMU on the
+                # LocalMapping thread, src/LocalMapping.cc:200-230); the
+                # chunked frontend consumes the applied world similarity
+                # from imu.align_log
+                imu.async_init = True
+                imu.map_lock = am.lock
+                if self.closer is not None:
+                    imu.abort_gba_fn = self.closer.abort_gba
+                am.init_fn = lambda: imu.run_pending_init(
+                    self.map, self.tracker
+                )
         ct = ChunkedTracker(
             self.tracker, self.ecfg, chunk=chunk, lag=lag, map_lock=lock,
             stereo=stereo, min_z=self.cfg.min_depth,
@@ -415,6 +431,8 @@ class SlamSystem:
             self.tracker.lost_frames = 0
             return
         m = self.map
+        if imu is not None:
+            imu._epoch += 1  # abort in-flight async init against the old map
         if m.n_keyframes() > self.cfg.min_kfs_for_new_map:
             m.create_new_map()
         else:
@@ -452,23 +470,65 @@ class SlamSystem:
         with open(path, "w") as f:
             f.write("\n".join(lines) + "\n")
 
+    def _T_bc(self):
+        """(4,4) camera->body transform for inertial configs, else None."""
+        imu = self.tracker.imu
+        if imu is None:
+            return None
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(imu.cfg.R_bc, np.float64)
+        T[:3, 3] = np.asarray(imu.cfg.t_bc, np.float64)
+        return T
+
     def save_trajectory_euroc(self, path: str):
-        """EuRoC format: ts_ns tx ty tz qw qx qy qz, camera-to-world
-        (reference: System::SaveTrajectoryEuRoC src/System.cc:705 region;
-        inertial variants emit body-frame poses — with the identity R_bc
-        used throughout, camera == body)."""
+        """EuRoC format: ts_ns tx ty tz qw qx qy qz. Visual configs emit
+        camera-to-world; inertial configs emit BODY-to-world through the
+        rig extrinsics T_bc (reference: System::SaveTrajectoryEuRoC writes
+        Twb = (mImuCalib.mTbc * Tcw).inverse() when IMU is present,
+        src/System.cc:799-801)."""
         import jax.numpy as jnp
 
         from ..lie import so3
 
+        T_bc = self._T_bc()
         lines = []
         for ts, fid, T in self.tracker.absolute_trajectory():
-            Twc = np.linalg.inv(T)
-            q = np.asarray(so3.quat_from_mat(jnp.asarray(Twc[:3, :3])))
-            t = Twc[:3, 3]
+            if T_bc is not None:
+                T = T_bc @ T  # T_bw = T_bc o T_cw
+            Twx = np.linalg.inv(T)
+            q = np.asarray(so3.quat_from_mat(jnp.asarray(Twx[:3, :3])))
+            t = Twx[:3, 3]
             lines.append(
                 f"{int(round(ts * 1e9))} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
                 f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}"
+            )
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def save_keyframe_trajectory_euroc(self, path: str):
+        """Keyframe EuRoC saver; body-frame for inertial configs (reference:
+        System::SaveKeyFrameTrajectoryEuRoC, src/System.cc:830 region)."""
+        import jax.numpy as jnp
+
+        from ..lie import so3
+
+        m = self.map
+        T_bc = self._T_bc()
+        kfs = m.keyframe_indices(all_maps=True)
+        order = kfs[np.argsort(m.kf_ts[kfs])]
+        lines = []
+        for k in order:
+            T = np.eye(4)
+            T[:3, :3] = m.kf_R[k]
+            T[:3, 3] = m.kf_t[k]
+            if T_bc is not None:
+                T = T_bc @ T
+            Twx = np.linalg.inv(T)
+            q = np.asarray(so3.quat_from_mat(jnp.asarray(Twx[:3, :3])))
+            t = Twx[:3, 3]
+            lines.append(
+                f"{int(round(m.kf_ts[k] * 1e9))} {t[0]:.9f} {t[1]:.9f} "
+                f"{t[2]:.9f} {q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}"
             )
         with open(path, "w") as f:
             f.write("\n".join(lines) + "\n")

@@ -173,7 +173,9 @@ class ChunkedTracker:
         self.ecfg = ecfg
         self.chunk = chunk
         self.lag = lag
-        self.map_lock = map_lock or threading.Lock()
+        # reentrant: the retire loop holds the lock per frame and keyframe
+        # creation / slow-path replay re-acquire it on the same thread
+        self.map_lock = map_lock or threading.RLock()
         self.rounds = rounds
         self.iters = iters
         self.stereo = stereo
@@ -199,6 +201,12 @@ class ChunkedTracker:
         # ---- visual-inertial pipeline state (VERDICT r3 missing #2)
         self.imu = tracker.imu  # ImuFrontend or None
         self._vi = False  # True once the IMU is initialized (VI chunk step)
+        # consumption epoch against imu.align_log: the async staged init
+        # (mapper worker) realigns the world at arbitrary times; the frontend
+        # consumes each applied similarity exactly once — fixing the device
+        # state, in-flight chunk outputs, and the map cache (VERDICT r4 #1:
+        # the solves left the tracker's critical path; this is the handback)
+        self._align_epoch = 0
         self._imu_cap = 64  # padded IMU samples per frame gap
         self._dr_streak = 0  # consecutive in-chunk dead-reckoned frames
         self.dr_budget = 24  # ~1.2 s of IMU-bridged blackout before replay
@@ -320,6 +328,39 @@ class ChunkedTracker:
             H_prior=jnp.asarray(_FIXED_INFO),
             ok=jnp.asarray(True),
         )
+
+    def _consume_alignments(self, p: "_PendingChunk" = None, start: int = 0):
+        """Apply world similarities committed by the ASYNC staged IMU init
+        since the last consumption (mapper-worker commits; reference:
+        InitializeIMU on the LocalMapping thread, src/LocalMapping.cc:200).
+
+        MUST be called with the map lock held. Fixes the chunk being retired
+        (frames start..), every pending chunk, the device-resident state
+        (switching to the VI step on first init), and the point cache.
+        Returns True if anything was applied."""
+        imu = self.imu
+        if imu is None or self._align_epoch >= len(imu.align_log):
+            return False
+        changed = False
+        while self._align_epoch < len(imu.align_log):
+            A, s_al = imu.align_log[self._align_epoch]
+            self._align_epoch += 1
+            changed = True
+            if p is not None:
+                p.outs = _fix_outs(p.outs, start, A, s_al, p.vi)
+            for q in self._pending:
+                q.world_fix.append((A, s_al))
+            if imu.initialized and not self._vi:
+                # IMU came up: switch the fast path to the VI chunk step
+                self._vi = True
+                self._step = None
+                if self.state is not None:
+                    self.state = self._vi_state_from_device(A, s_al)
+            elif self.state is not None:
+                self.state = self._fix_device_state(A, s_al)
+        if changed:
+            self.refresh_cache()
+        return changed
 
     def _pad_imu(self, imu_samples):
         """(acc, gyro, dts) -> fixed-cap padded (acc, gyro, dts, valid)."""
@@ -443,6 +484,10 @@ class ChunkedTracker:
 
         t = self.tracker
         with self.map_lock:
+            # pending is empty on the slow path (flush/replay drained it);
+            # consuming here keeps the epoch current and flips _vi if the
+            # async init landed while we were off the fast path
+            self._consume_alignments()
             depth = ur = None
             if self.stereo and img_r is not None:
                 from ..ops.stereo_match import match_stereo
@@ -493,12 +538,14 @@ class ChunkedTracker:
         # refresh at chunk rate (not keyframe rate): the async mapper
         # triangulates new points between keyframes, and stale caches are
         # how the device pipeline starves of inliers. Cost: one host covis
-        # query + ~200 KB h2d per chunk.
-        with self.stats.measure("cache_refresh"):
+        # query + ~200 KB h2d per chunk. Async-init alignments must land
+        # BEFORE the state is used for the next dispatch.
+        with self.stats.measure("cache_refresh"), self.map_lock:
+            self._consume_alignments()
             self.refresh_cache()
-        if self.cache is None or self.state is None:
-            self.refresh_cache()
-            self._sync_state_from_tracker()
+            if self.cache is None or self.state is None:
+                self.refresh_cache()
+                self._sync_state_from_tracker()
         if self._step is None:
             if self._vi:
                 from .vi_fused import (
@@ -654,19 +701,39 @@ class ChunkedTracker:
             return self._retire_frames(p, results)
 
     def _retire_frames(self, p, results):
+        t = self.tracker
+        for i in range(p.n_valid):
+            # per-frame lock scope: async-init commits (mapper worker) land
+            # between frames, never mid-frame; replay/throttle (which need
+            # the worker to make progress) run outside the lock
+            with self.map_lock:
+                replay_from, do_throttle = self._retire_one(p, i, results)
+            if replay_from is not None:
+                results += self._replay_after_loss(p, replay_from)
+                return results
+            if do_throttle and self.throttle_fn is not None:
+                self.throttle_fn()
+        return results
+
+    def _retire_one(self, p, i, results):
+        """Retire frame i of chunk p (map lock held). Returns
+        (replay_from | None, throttle: bool)."""
         from .tracker import RECENTLY_LOST, FrameRecord
 
         t = self.tracker
         m = t.map
         cfg = self.cfg
         imu = self.imu
+        # async staged init may have realigned the world since the previous
+        # frame: fix the remaining outputs of this chunk first
+        self._consume_alignments(p, i)
         if p.vi:
             R_all, t_all = p.outs.R, p.outs.t
             n_inl_all = p.outs.n_inliers
             obs_cache_all = p.outs.obs_cache_idx
         else:
             R_all, t_all, n_inl_all, obs_cache_all = p.outs
-        for i in range(p.n_valid):
+        if True:
             fid, ts = p.fids[i], p.tss[i]
             ur_i = None if p.urs is None else p.urs[i]
             d_i = None if p.depths is None else p.depths[i]
@@ -724,7 +791,7 @@ class ChunkedTracker:
                     t.frames_since_kf += 1
                     t.trajectory.append((ts, fid, -1, -1, T_abs, T_abs))
                     results.append((fid, ts, T_abs))
-                    continue
+                    return None, False
                 # budget exhausted: fall through to the loss path below
                 n_inl = 0
             else:
@@ -758,8 +825,9 @@ class ChunkedTracker:
                 self.state = None
                 self.cache = None
                 results.append((fid, ts, None))
-                results += self._replay_after_loss(p, i + 1)
-                return results
+                # replay runs OUTSIDE the lock (the caller) — its slow-path
+                # frames need the mapper worker to make progress
+                return i + 1, False
             # a sagging-but-alive streak means the cache went stale faster
             # than the keyframe policy reacted (mapper lag, view frontier):
             # force a keyframe + cache refresh and STAY on the fast path —
@@ -776,6 +844,7 @@ class ChunkedTracker:
             )
             if force_kf:
                 self._low_streak = 0
+            do_throttle = False
             rec = FrameRecord(self._lazy_features(p.feats, i), T, obs_mp,
                               ts, fid, depth=d_i, ur=ur_i)
             if t.last is not None:
@@ -821,19 +890,19 @@ class ChunkedTracker:
                     with self.map_lock:
                         t._create_keyframe(rec)
                     if imu is not None and imu.stage != stage_pre:
-                        # staged IMU init / VIBA refinement just re-aligned
-                        # (and for mono rescaled) the whole world by a KNOWN
-                        # similarity. In-flight chunks were computed in the
-                        # OLD world; apply the same similarity to their
-                        # results and to the device state instead of the
-                        # (seconds-per-frame) slow-path replay.
+                        # SYNC staged IMU init just re-aligned (and for mono
+                        # rescaled) the whole world by a KNOWN similarity.
+                        # In-flight chunks were computed in the OLD world;
+                        # apply the same similarity to their results and to
+                        # the device state instead of the (seconds-per-frame)
+                        # slow-path replay. (Async mode never enters here —
+                        # commits land from the mapper worker and are picked
+                        # up by _consume_alignments at the next frame top.)
                         A, s_al = imu.last_alignment
                         p.outs = _fix_outs(p.outs, i + 1, A, s_al, p.vi)
-                        # rebind the loop's views onto the fixed arrays
-                        if p.vi:
-                            R_all, t_all = p.outs.R, p.outs.t
-                        else:
-                            R_all, t_all = p.outs[0], p.outs[1]
+                        # the sync commit appended to align_log; it is now
+                        # consumed
+                        self._align_epoch = len(imu.align_log)
                         for q in self._pending:
                             q.world_fix.append((A, s_al))
                         if imu.initialized and not self._vi:
@@ -858,8 +927,7 @@ class ChunkedTracker:
                             and self.state is not None
                         ):
                             self._apply_world_correction(W)
-                        if self.throttle_fn is not None:
-                            self.throttle_fn()
+                        do_throttle = True  # applied by caller, lock released
                         if p.vi and self.state is not None:
                             # keyframe-anchored prior reset (reference:
                             # the first post-KF frame solves against the
@@ -872,7 +940,7 @@ class ChunkedTracker:
                             )
                         self.refresh_cache()
             results.append((fid, ts, T_abs))
-        return results
+        return None, do_throttle
 
     def _apply_world_correction(self, W):
         from .vi_fused import VITrackState

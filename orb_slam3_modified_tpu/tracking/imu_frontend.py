@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,6 +85,33 @@ class ImuFrontend:
         # rig is actually moving, mirroring the reference's mTinit clock.
         self.bad_imu = False
         self.t_motion = 0.0
+        # ---- staged-init execution mode ------------------------------------
+        # Synchronous (default): maybe_initialize solves inline in the
+        # tracker's keyframe path — deterministic, used by the per-frame
+        # entry points and --sync-mapping chunked runs.
+        # Asynchronous (chunked pipeline): the solves run on the async
+        # mapper's worker thread after keyframe processing (reference:
+        # InitializeIMU runs on the LocalMapping thread,
+        # src/LocalMapping.cc:200-230, never blocking Tracking) and the
+        # applied world similarity is handed back through align_log; the
+        # chunked frontend consumes it and corrects in-flight chunks
+        # analytically.
+        self.async_init = False
+        self.map_lock = None  # shared map lock (async mode)
+        self.abort_gba_fn = None  # stop a stale global BA before realigning
+        # every applied world similarity (A = R_wg^T, s), in order; the
+        # chunked frontend tracks its consumption epoch against this log
+        self.align_log: list = []
+        self.last_alignment = None
+        self._epoch = 0  # bumped on reset/loss; in-flight solves abort
+        # stage-4 periodic monocular scale refinement schedule (reference:
+        # LocalMapping::Run re-runs ScaleRefinement while mTinit crosses
+        # 25/35/45/55/65/75 s, src/LocalMapping.cc:232-244, :1429)
+        self.refine_schedule = (25.0, 35.0, 45.0, 55.0, 65.0, 75.0)
+        self.refine_idx = 0
+        # IMU-init observability traces (reference: System::SaveDebugData
+        # writes init_Rwg/Scale/Time files, src/System.cc:1305 region)
+        self.init_log: list = []
 
     # ----------------------------------------------------------- per frame
     def integrate_frame(self, acc, gyro, dts):
@@ -238,31 +266,111 @@ class ImuFrontend:
             pres2.append(p)
         return kfs2, pres2
 
-    def maybe_initialize(self, slam_map, tracker) -> bool:
-        """Staged IMU init on the keyframe chain (InitializeIMU analog).
+    def _init_due(self, slam_map):
+        """Which staged-init event (if any) the chain is due for.
 
-        The chain must be substantial before solving gravity/scale — the
-        reference requires nMinKF = 10 keyframes (InitializeIMU,
-        src/LocalMapping.cc:1187 region); initializing on a starved map
-        produces degenerate alignments that wreck tracking."""
+        Returns None, "init" (stages 1-3), or "refine" (stage-4 periodic
+        monocular scale refinement). The chain must be substantial before
+        solving gravity/scale — the reference requires nMinKF = 10 keyframes
+        (InitializeIMU, src/LocalMapping.cc:1187 region); initializing on a
+        starved map produces degenerate alignments that wreck tracking."""
         if self.first_kf_ts is None or len(self.kf_chain) < 10:
-            return False
+            return None
         last_ts = slam_map.kf_ts[self.kf_chain[-1][0]]
         # (timestamp of the newest chain entry; slot reuse handled below)
         elapsed = last_ts - self.first_kf_ts
-        if self.stage == 0 and elapsed < self.cfg.init_time:
-            return False
-        if self.stage == 1 and elapsed < self.cfg.viba1_time:
-            return False
-        if self.stage == 2 and elapsed < self.cfg.viba2_time:
-            return False
-        if self.stage >= 3:
-            return False
+        if self.stage == 0:
+            return "init" if elapsed >= self.cfg.init_time else None
+        if self.stage == 1:
+            return "init" if elapsed >= self.cfg.viba1_time else None
+        if self.stage == 2:
+            return "init" if elapsed >= self.cfg.viba2_time else None
+        # stage >= 3: periodic mono scale refinement (reference:
+        # LocalMapping::Run @ mTinit 25-75 s, src/LocalMapping.cc:232-244)
+        if not self.cfg.mono or self.refine_idx >= len(self.refine_schedule):
+            return None
+        if elapsed >= self.refine_schedule[self.refine_idx]:
+            return "refine"
+        return None
 
+    def maybe_initialize(self, slam_map, tracker) -> bool:
+        """Staged IMU init on the keyframe chain (InitializeIMU analog).
+
+        Synchronous mode solves inline (per-frame entry points,
+        --sync-mapping). In async mode this is a NO-OP — the async mapper
+        worker calls run_pending_init after each keyframe instead, mirroring
+        the reference's mapper-thread InitializeIMU
+        (src/LocalMapping.cc:200-230)."""
+        if self.async_init:
+            return False
+        due = self._init_due(slam_map)
+        if due is None:
+            return False
+        snap = self._snapshot_chain(slam_map)
+        if snap is None:
+            return False
+        import time as _time
+
+        t0 = _time.perf_counter()
+        res = self._solve_inertial(snap, due)
+        ok = self._commit_init(
+            slam_map, tracker, due, snap, res, _time.perf_counter() - t0
+        )
+        if ok and due == "init":
+            # joint full visual-inertial BA over the chain: poses +
+            # velocities + per-KF biases + points (reference: InitializeIMU
+            # runs FullInertialBA with 100 iters and priors 1e2/1e10 after
+            # ApplyScaledRotation, src/LocalMapping.cc:1280-1300; VIBA1/VIBA2
+            # re-run it with 1/1e5 and 0/0). The newest KF's pose anchors the
+            # gauge so the tracker's current pose stays consistent.
+            kfs2, pres2 = snap[0], snap[1]
+            self._full_vi_ba(slam_map, tracker, kfs2, pres2[1:])
+        return ok
+
+    def run_pending_init(self, slam_map, tracker):
+        """Async-mode staged init, called on the mapper worker thread after
+        each keyframe's mapping cycle (reference: LocalMapping::Run order —
+        local BA, then InitializeIMU/VIBA, src/LocalMapping.cc:148-244).
+
+        Snapshots under the map lock, solves unlocked (the tracker keeps
+        streaming chunks), commits under the lock; the applied similarity
+        lands in align_log for the chunked frontend to consume."""
+        import time as _time
+
+        lock = self.map_lock
+        epoch = self._epoch
+        with lock:
+            if epoch != self._epoch:
+                return False
+            due = self._init_due(slam_map)
+            if due is None:
+                return False
+            snap = self._snapshot_chain(slam_map)
+        if snap is None:
+            return False
+        t0 = _time.perf_counter()
+        res = self._solve_inertial(snap, due)
+        res = jax.tree_util.tree_map(np.asarray, res)
+        # a stale global BA would write pre-alignment poses back over the
+        # realigned map — stop it first, WITHOUT holding the map lock (the
+        # GBA thread needs the lock to finish its current phase)
+        if self.abort_gba_fn is not None:
+            self.abort_gba_fn()
+        with lock:
+            if epoch != self._epoch:
+                return False
+            ok = self._commit_init(
+                slam_map, tracker, due, snap, res, _time.perf_counter() - t0
+            )
+        if ok and due == "init":
+            self._bg_full_vi_ba(slam_map, tracker, epoch)
+        return ok
+
+    def _snapshot_chain(self, slam_map):
+        """(kfs2, pres2, R_wb, p_wb) of the surviving chain, or None."""
         kfs2, pres2 = self.valid_chain(slam_map)
         if len(kfs2) < 6:
-            return False
-        chain = InertialChain.from_preintegrated(pres2[1:])
+            return None
         R_bc = self.cfg.R_bc
         t_bc = self.cfg.t_bc
         # body rotations/positions from camera poses: T_bw = T_bc o T_cw
@@ -274,50 +382,98 @@ class ImuFrontend:
             t_bw = R_bc @ t_cw + t_bc
             R_wb.append(R_bw.T)
             p_wb.append(-R_bw.T @ t_bw)
-        R_wb = jnp.asarray(np.stack(R_wb).astype(np.float32))
-        p_wb = jnp.asarray(np.stack(p_wb).astype(np.float32))
+        return (
+            kfs2,
+            pres2,
+            np.stack(R_wb).astype(np.float32),
+            np.stack(p_wb).astype(np.float32),
+        )
+
+    def _solve_inertial(self, snap, kind):
+        kfs2, pres2, R_wb, p_wb = snap
+        chain = InertialChain.from_preintegrated(pres2[1:])
         v0 = jnp.zeros((len(kfs2), 3), jnp.float32)
-        # scale is solved once for MONOCULAR maps; refinement stages — and
-        # stereo/RGB-D maps, which are metric from the baseline — keep it
-        # fixed (reference: VIBA1/VIBA2 run FullInertialBA with bFixScale;
-        # non-mono InitializeIMU never frees the scale)
-        fix_scale = self.stage >= 1 or not self.cfg.mono
-        res = inertial_only_optimization(chain, R_wb, p_wb, v0, fix_scale, 40)
+        # scale is solved once for MONOCULAR maps and re-solved by the
+        # periodic refinement; VIBA1/VIBA2 — and stereo/RGB-D maps, which
+        # are metric from the baseline — keep it fixed (reference:
+        # bFixScale gating in InertialOptimization/FullInertialBA;
+        # ScaleRefinement always frees it, src/LocalMapping.cc:1429)
+        fix_scale = (self.stage >= 1 or not self.cfg.mono) and kind != "refine"
+        return inertial_only_optimization(
+            chain, jnp.asarray(R_wb), jnp.asarray(p_wb), v0, fix_scale, 40
+        )
+
+    def _commit_init(self, slam_map, tracker, kind, snap, res, t_solve) -> bool:
+        """Validate + apply one staged-init solve. Caller holds the map lock
+        in async mode."""
+        kfs2 = snap[0]
         scale = float(res.scale)
+        fix_scale = (self.stage >= 1 or not self.cfg.mono) and kind != "refine"
         # sanity gates (reference: InitializeIMU rejects scale<1e-1 for mono
         # and bad-IMU cases, src/LocalMapping.cc:1260 region); a gyro bias
         # beyond ~0.1 rad/s is unphysical for consumer IMUs -> bad solve
         if not np.isfinite(scale) or scale <= 1e-2 or scale > 1e3:
             return False
-        if float(jnp.linalg.norm(res.bg)) > 0.1:
+        if float(np.linalg.norm(np.asarray(res.bg))) > 0.1:
             return False
         R_wg = np.asarray(res.R_wg)
-        # apply gravity alignment + scale to the whole map
-        # (reference: Map::ApplyScaledRotation include/Map.h:118 via
-        # InitializeIMU src/LocalMapping.cc:1283). Refinement stages apply
-        # only if meaningfully different (reference: |s-1| > 0.002 gate).
         if fix_scale:
             scale = 1.0
+        tilt = float(np.arccos(np.clip((np.trace(R_wg) - 1) / 2, -1.0, 1.0)))
+        self.init_log.append(
+            {
+                "kind": kind, "stage": self.stage, "scale": scale,
+                "R_wg": R_wg.copy(), "t_solve": t_solve,
+                "ts": float(slam_map.kf_ts[kfs2[-1]]),
+            }
+        )
+        if kind == "refine":
+            self.refine_idx += 1
+            # apply only if meaningfully different (reference:
+            # |mScale-1| > 0.002 gate, src/LocalMapping.cc:1451 region)
+            if abs(scale - 1.0) <= 0.002 and tilt <= 2e-3:
+                self.init_log[-1]["applied"] = False
+                return False
+        self.init_log[-1]["applied"] = True
+        # apply gravity alignment + scale to the whole map
+        # (reference: Map::ApplyScaledRotation include/Map.h:118 via
+        # InitializeIMU src/LocalMapping.cc:1283)
         _apply_scaled_rotation(slam_map, R_wg.T, scale)
         # record the applied similarity so pipelined frontends can correct
         # in-flight results analytically instead of replaying them
         # (world' : R_cw' = R_cw A^T, t' = s t, v' = s A v, A = R_wg^T)
-        self.last_alignment = (R_wg.T.astype(np.float32), float(scale))
-        # velocities come out in the pre-alignment frame at true scale
-        v_new = np.asarray(res.v_w) @ R_wg  # rotate into aligned frame
-        for i, k in enumerate(kfs2):
-            slam_map.kf_vel[k] = v_new[i]
-            slam_map.kf_bias[k, :3] = np.asarray(res.bg)
-            slam_map.kf_bias[k, 3:] = np.asarray(res.ba)
-        self.v_w = v_new[-1].astype(np.float32)
-        self.bias = ImuBias(res.bg, res.ba)
+        A = R_wg.T.astype(np.float32)
+        self.last_alignment = (A, float(scale))
+        self.align_log.append((A, float(scale)))
+        if kind == "init":
+            # velocities come out in the pre-alignment frame at true scale;
+            # rotate into the aligned frame and write back the SURVIVING
+            # chain states (async: keyframes may have been culled mid-solve)
+            v_new = np.asarray(res.v_w) @ R_wg
+            for i, k in enumerate(kfs2):
+                if not slam_map.kf_valid[k]:
+                    continue
+                slam_map.kf_vel[k] = v_new[i]
+                slam_map.kf_bias[k, :3] = np.asarray(res.bg)
+                slam_map.kf_bias[k, 3:] = np.asarray(res.ba)
+            if self.stage == 0 or not self.initialized:
+                self.v_w = v_new[-1].astype(np.float32)
+            else:
+                # live velocity has advanced past the snapshot (async):
+                # transform it instead of rolling back to the chain's
+                self.v_w = (scale * (A @ self.v_w)).astype(np.float32)
+            self.bias = ImuBias(
+                jnp.asarray(np.asarray(res.bg)), jnp.asarray(np.asarray(res.ba))
+            )
+            self.initialized = True
+            self.stage += 1
+            slam_map.imu_initialized = True
+            slam_map.n_inertial_ba = self.stage
+        else:
+            self.v_w = (scale * (A @ self.v_w)).astype(np.float32)
         self.marg_prior = None  # world frame + bias changed under the prior
         self._marg_pending = None
         self.kf_prior = None  # its tangent frame rotated with the world
-        self.initialized = True
-        self.stage += 1
-        slam_map.imu_initialized = True
-        slam_map.n_inertial_ba = self.stage
         # tracker pose state must follow the map transform
         if tracker is not None and tracker.last is not None:
             R_cw = np.asarray(tracker.last.T_cw.R) @ R_wg
@@ -326,13 +482,6 @@ class ImuFrontend:
                 jnp.asarray(R_cw.astype(np.float32)), jnp.asarray(t_cw.astype(np.float32))
             )
             tracker.velocity = None
-        # joint full visual-inertial BA over the chain: poses + velocities +
-        # per-KF biases + points (reference: InitializeIMU runs FullInertialBA
-        # with 100 iters and priors 1e2/1e10 after ApplyScaledRotation,
-        # src/LocalMapping.cc:1280-1300; VIBA1/VIBA2 re-run it with 1/1e5 and
-        # 0/0). The newest KF's pose anchors the gauge so the tracker's
-        # current pose stays consistent.
-        self._full_vi_ba(slam_map, tracker, kfs2, pres2[1:])
         return True
 
     def _full_vi_ba(self, slam_map, tracker, kfs, pres):
@@ -359,6 +508,61 @@ class ImuFrontend:
             jnp.asarray(np.asarray(res.bg)[len(kfs) - 1]),
             jnp.asarray(np.asarray(res.ba)[len(kfs) - 1]),
         )
+
+    def _bg_full_vi_ba(self, slam_map, tracker, epoch):
+        """Async FullInertialBA: snapshot under the lock, solve unlocked on
+        the worker, commit with propagation to keyframes created meanwhile
+        (reference: InitializeIMU's FullInertialBA + queued-keyframe
+        correction, src/LocalMapping.cc:1280-1360)."""
+        from ..optim.vi_ba import build_vi_problem, vi_bundle_adjust
+        from ..slam_map.commit import commit_whole_map_solve
+        from ..utils.fetch import fetch
+
+        priors = {1: (1e2, 1e10), 2: (1.0, 1e5), 3: (0.0, 0.0)}
+        prior_g, prior_a = priors.get(self.stage, (0.0, 0.0))
+        tcfg = tracker.cfg
+        lock = self.map_lock
+        with lock:
+            if epoch != self._epoch:
+                return
+            kfs2, pres2 = self.valid_chain(slam_map)
+            if len(kfs2) < 6:
+                return
+            kfs = np.asarray(kfs2)
+            kfs_fid = slam_map.kf_frame_id[kfs].copy()
+            fixed = np.zeros(len(kfs2), bool)
+            fixed[-1] = True  # gauge on the newest snapshot KF
+            prob, kfs_np, mp_sel = build_vi_problem(
+                slam_map, tcfg, kfs2, pres2[1:], fixed, prior_g, prior_a,
+                self.cfg, obs_bucket=16384,
+                state_fixed=np.zeros(len(kfs2), bool),
+            )
+            pre_R = slam_map.kf_R[kfs].copy()
+            pre_t = slam_map.kf_t[kfs].copy()
+        res = vi_bundle_adjust(prob, tcfg.cam, 2, 10)
+        res = fetch(res)
+        K0 = len(kfs2)
+        with lock:
+            if epoch != self._epoch:
+                return
+            alive = slam_map.kf_valid[kfs] & (slam_map.kf_frame_id[kfs] == kfs_fid)
+            v_opt = np.asarray(res.v_w)[:K0]
+            bg_opt = np.asarray(res.bg)[:K0]
+            ba_opt = np.asarray(res.ba)[:K0]
+            slam_map.kf_vel[kfs[alive]] = v_opt[alive]
+            slam_map.kf_bias[kfs[alive], :3] = bg_opt[alive]
+            slam_map.kf_bias[kfs[alive], 3:] = ba_opt[alive]
+            commit_whole_map_solve(
+                slam_map, kfs, kfs_fid, np.asarray(mp_sel),
+                np.asarray(res.T_cw.R)[:K0], np.asarray(res.T_cw.t)[:K0],
+                np.asarray(res.points)[: len(mp_sel)], pre_R, pre_t,
+            )
+            # biases are slowly varying: adopt the newest solved one; the
+            # live velocity/pose have advanced and stay with the frontend
+            if alive[-1]:
+                self.bias = ImuBias(
+                    jnp.asarray(bg_opt[-1]), jnp.asarray(ba_opt[-1])
+                )
 
 
 def _apply_scaled_rotation(m, R_gw: np.ndarray, s: float):

