@@ -53,13 +53,20 @@ class KeyFrameDatabase:
         word_ids: np.ndarray,
         exclude: set,
         n_best: int = 3,
-        covis_groups: dict | None = None,
+        covis_groups=None,
     ):
         """Top-N candidates by accumulated covisibility-group score.
 
         Mirrors DetectNBestCandidates: gate at 0.8 * max shared words,
         score with L1 BoW similarity, accumulate over each candidate's
         covisibility group, return best kf of each top group.
+
+        covis_groups: dict kf -> [neighbor kfs], or a CALLABLE kf -> list —
+        the callable form is evaluated only for the word-gated candidate set
+        (a handful of keyframes), so callers never pay an O(K^2) covis-graph
+        rebuild per query (the reference accumulates over
+        GetBestCovisibilityKeyFrames of candidates only,
+        src/KeyFrameDatabase.cc:433 region).
         """
         counts = self.shared_word_counts(word_ids, exclude)
         max_common = counts.max() if counts.size else 0
@@ -69,6 +76,8 @@ class KeyFrameDatabase:
         cand = np.flatnonzero(counts >= th)
         qbow = self.voc.bow_vector(word_ids)
         scores = {int(k): Vocabulary.score_l1(qbow, self.kf_bow.get(int(k), {})) for k in cand}
+        if callable(covis_groups):
+            covis_groups = {k: covis_groups(k) for k in scores}
         # group accumulation
         results = []
         for k, s in scores.items():

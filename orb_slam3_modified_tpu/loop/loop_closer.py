@@ -171,12 +171,14 @@ class LoopCloser:
         # (KeyFrame::GetConnectedKeyFrames); weaker links stay searchable
         w = m.covisibility_weights(k)
         exclude |= {int(x) for x in np.flatnonzero(w >= 15)}
-        covis_groups = {
-            int(c): [int(x) for x in m.best_covisible(int(c), 10, min_weight=5)]
-            for c in m.keyframe_indices()
-        }
+        # covis groups are resolved lazily for the word-gated candidates
+        # only — rebuilding them for EVERY keyframe per query was O(K^2)
+        # host work that dominated detection past a few hundred keyframes
         cands = self.kfdb.query(
-            words, exclude, self.cfg.n_candidates, covis_groups
+            words, exclude, self.cfg.n_candidates,
+            lambda c: [
+                int(x) for x in m.best_covisible(int(c), 10, min_weight=5)
+            ],
         )
         for c in cands:
             ver = self._verify(k, int(c))

@@ -22,8 +22,11 @@ the slow path (reference behavior: every frame passes Track()).
 """
 from __future__ import annotations
 
+import logging
 import threading
 from collections import deque
+
+log = logging.getLogger(__name__)
 
 import jax
 import jax.numpy as jnp
@@ -803,6 +806,13 @@ class ChunkedTracker:
             if n_inl < self.hard_floor:
                 # tracking lost mid-chunk: replay the remainder (this chunk,
                 # all later pending chunks) through the per-frame slow path
+                log.info(
+                    "chunked loss at frame %d: n_inl=%d (vi=%s, dr=%d, "
+                    "kfs=%d mps=%d stage=%s)",
+                    fid, n_inl, p.vi, self._dr_streak,
+                    m.n_keyframes(), m.n_points(),
+                    imu.stage if imu is not None else "-",
+                )
                 self._low_streak = 0
                 self._dr_streak = 0
                 t.state = RECENTLY_LOST

@@ -50,6 +50,83 @@ class TestLocalizationMode:
         assert slam.tracker.only_tracking is False
 
 
+class TestLocalizationVO:
+    def test_vo_bridges_low_overlap_and_relatches(self):
+        """mbVO parity (reference: src/Tracking.cc:2050-2160): in
+        localization-only mode, a stretch with no map coverage must switch
+        to frame-to-frame visual odometry on temporal depth points (not go
+        LOST), keep attempting relocalization, and re-latch onto the map
+        when coverage returns."""
+        from orb_slam3_modified_tpu.bow.vocabulary import build_vocabulary
+        from orb_slam3_modified_tpu.utils.synthetic import orbit_trajectory
+
+        world = SyntheticFeatureWorld(
+            n_points=12000, spread=10.0, seed=21, feat_cap=768,
+            noise_px=0.4, layout="ring",
+        )
+        voc = build_vocabulary(world.desc[:4000], k=8, depth=3, seed=1)
+        slam = SlamSystem(
+            SystemConfig(cam=CAM, feat_cap=768, vocabulary=voc)
+        )
+        n = 110
+        T_all = orbit_trajectory(n, radius=4.0, sweep=2.2 * np.pi)
+
+        def track(i):
+            T_cw = SE3(T_all.R[i], T_all.t[i])
+            feats, ids = world.observe(CAM, T_cw, max_feats=600)
+            import jax.numpy as jnp
+
+            pc = np.asarray(T_cw.apply(jnp.asarray(world.points[ids])))
+            depth = np.full(feats.capacity, -1.0, np.float32)
+            depth[: len(ids)] = pc[:, 2]
+            return slam.track_features(feats, ts=i * 0.05, depth=depth), T_cw
+
+        def center(T):
+            return -np.asarray(T)[:3, :3].T @ np.asarray(T)[:3, 3]
+
+        # phase 1: SLAM over the first quarter of the ring. The map frame is
+        # anchored at frame 0 (not the GT world frame) — collect matched
+        # centers so the gauge offset can be solved out with Horn alignment.
+        c_est_map, c_gt_map = [], []
+        for i in range(25):
+            T, T_cw = track(i)
+            if T is not None:
+                c_est_map.append(center(T))
+                c_gt_map.append(np.asarray(T_cw.inverse().t))
+        assert slam.map.n_keyframes() > 3
+        slam.activate_localization_mode()
+        # phase 2: localization-only around the stretch of the ring wall the
+        # map never saw, then back into coverage
+        vo_seen = False
+        n_published = 0
+        final = []  # (c_est, c_gt) of the last frames, post re-latch
+        from orb_slam3_modified_tpu.tracking.tracker import LOST
+
+        for i in range(25, n):
+            T, T_cw = track(i)
+            assert slam.tracker.state != LOST, f"went LOST at frame {i}"
+            vo_seen = vo_seen or slam.tracker.vo_mode
+            n_published += T is not None
+            if T is not None and i >= n - 3:
+                final.append((center(T), np.asarray(T_cw.inverse().t)))
+        assert vo_seen, "VO mode must engage on the unmapped stretch"
+        assert n_published >= 0.9 * (n - 25), "VO must keep the pose alive"
+        assert not slam.tracker.vo_mode, "must re-latch onto the map"
+        assert len(final) >= 2
+        from orb_slam3_modified_tpu.eval.ate import align_horn
+
+        R_a, t_a, _, _ = align_horn(
+            np.array(c_est_map).T, np.array(c_gt_map).T, with_scale=False
+        )
+        errs = [
+            np.linalg.norm((R_a @ ce + t_a[:, 0]) - cg) for ce, cg in final
+        ]
+        assert max(errs) < 0.3, (
+            f"re-latched pose error {errs} (map-frame alignment applied)"
+        )
+        assert slam.map.n_keyframes() <= 25, "map stayed frozen"
+
+
 class TestResetProtocol:
     def test_reset_active_map(self):
         world = SyntheticFeatureWorld(
