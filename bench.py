@@ -15,7 +15,9 @@ Baseline = the reference's real-time contract of 20 fps on a desktop CPU
 Examples/Monocular-Inertial/mono_inertial_euroc.cc:224).
 """
 import faulthandler
+import os
 import json
+import logging
 import signal
 import sys
 import time
@@ -23,6 +25,15 @@ import time
 import numpy as np
 
 faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
+
+# surface pipeline events (mid-chunk losses, staged-init commits) in the
+# driver-captured stderr tail
+logging.basicConfig(
+    level=(logging.DEBUG if os.environ.get("BENCH_DEBUG") else logging.INFO),
+    stream=sys.stderr,
+    format="[bench:%(name)s] %(message)s",
+)
+logging.getLogger("jax").setLevel(logging.WARNING)
 
 
 def render_sequence(cam, n_frames, seed=0):
@@ -63,11 +74,142 @@ def render_sequence(cam, n_frames, seed=0):
     return imgs, gts
 
 
-def main_vi(mode: str):
+def render_ring_sequence(cam, n_frames, fps=20.0, radius=4.0, seed=0):
+    """Full-revolution ring over the textured plane: the camera revisits its
+    start view (loop-closure target) and the viewed region sweeps the whole
+    plane, so the map outgrows the device point cache (CACHE_CAP) and the
+    covis-window cache selection + loop correction run inside the timed
+    window — the load profile VERDICT r4 weak #2 asked for."""
+    from orb_slam3_modified_tpu.utils.synthetic_dataset import (
+        camera_rays,
+        orbit_state,
+        render_textured_scene,
+    )
+
+    rng = np.random.default_rng(seed)
+    try:
+        import cv2
+
+        tex_small = rng.uniform(0, 255, (128, 128)).astype(np.float32)
+        texture = cv2.resize(tex_small, (2048, 2048), interpolation=cv2.INTER_CUBIC)
+    except Exception:
+        import jax.numpy as jnp
+        import jax.image
+
+        tex_small = rng.uniform(0, 255, (128, 128)).astype(np.float32)
+        texture = np.asarray(
+            jax.image.resize(jnp.asarray(tex_small), (2048, 2048), "cubic")
+        )
+    period = n_frames / fps
+    rays = camera_rays(cam)
+    imgs, gts = [], []
+    for i in range(n_frames):
+        R_cw, p, _, _ = orbit_state(
+            i / fps, period, radius, 2 * np.pi, height=0.4, ring=True
+        )
+        T = np.eye(4)
+        T[:3, :3] = R_cw
+        T[:3, 3] = -R_cw @ p
+        img = render_textured_scene(
+            T, cam, texture, plane_z=2.0, plane_half=10.0, rays_c=rays
+        )
+        imgs.append(np.clip(img, 0, 255).astype(np.uint8))
+        gts.append(T)
+    return imgs, gts
+
+
+def run_hard_scene(budget_s: float = 1500.0):
+    """Second, harder bench scene: ring revisit with loop closure. Runs in
+    the SAME process as the easy-scene bench so the chunk-step compile (same
+    camera/feature shapes) is reused. Prints its result as a [bench] stderr
+    line; the headline stdout JSON stays the easy-scene metric."""
+    import orb_slam3_modified_tpu  # noqa: F401
+    import os
+
+    from orb_slam3_modified_tpu.cameras import Camera
+    from orb_slam3_modified_tpu.features.extractor import ExtractorConfig
+    from orb_slam3_modified_tpu.system.slam_system import SlamSystem, SystemConfig
+
+    cam = Camera.pinhole(458.654, 457.296, 367.215, 248.375, width=752, height=480)
+    n_frames = 400
+    cache = "/tmp/bench_seq_hard.npz"
+    t_render = time.perf_counter()
+    if os.path.exists(cache):
+        d = np.load(cache)
+        imgs, gts = list(d["imgs"][:n_frames]), list(d["gts"][:n_frames])
+    else:
+        imgs, gts = render_ring_sequence(cam, n_frames)
+        np.savez(cache, imgs=np.stack(imgs), gts=np.stack(gts))
+    print(
+        f"[bench] hard scene ready in {time.perf_counter()-t_render:.1f}s",
+        file=sys.stderr,
+    )
+    slam = SlamSystem(
+        SystemConfig(
+            cam=cam,
+            feat_cap=1024,
+            extractor=ExtractorConfig(n_features=1024),
+            use_loop_closing=True,
+        )
+    )
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    fe = slam.make_chunked_frontend(chunk=chunk, lag=1)
+    fps_cam = 20.0
+    n_warm = 64
+    retired = []
+    t_w = time.perf_counter()
+    t0 = None
+    for i in range(n_frames):
+        retired += fe.track_image(imgs[i], ts=i / fps_cam)
+        if i + 1 == n_warm:
+            if getattr(slam, "async_mapper", None) is not None:
+                slam.async_mapper.flush()
+            t0 = time.perf_counter()
+        if (i + 1) % 64 == 0:
+            phase = "warm" if i + 1 <= n_warm else "timed"
+            print(
+                f"[bench] hard {phase} {i + 1}/{n_frames} "
+                f"({time.perf_counter() - t_w:.1f}s)",
+                file=sys.stderr,
+            )
+    retired += fe.flush()
+    dt = time.perf_counter() - t0
+    fps = (n_frames - n_warm) / dt
+    slam.shutdown()
+    tracked = sum(1 for fid, ts, T in retired if T is not None and fid >= n_warm)
+    n_loops = slam.closer.n_loops_closed if slam.closer else 0
+    print(
+        f"[bench] hard scene: tracked={tracked}/{n_frames - n_warm} "
+        f"kfs={slam.map.n_keyframes()} mps={slam.map.n_points()} "
+        f"loops={n_loops}",
+        file=sys.stderr,
+    )
+    for line in fe.stats.dump().splitlines():
+        print(f"[bench]   {line}", file=sys.stderr)
+    print(
+        "[bench] "
+        + json.dumps(
+            {
+                "metric": "hard_scene_tracking_fps_with_extraction",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 20.0, 3),
+                "loops_closed": n_loops,
+            }
+        ),
+        file=sys.stderr,
+    )
+    return fps
+
+
+def main_vi(mode: str, stdout_json: bool = True):
     """Visual-inertial bench variants: BENCH_MODE=vi (mono-inertial) or
     BENCH_MODE=si (stereo-inertial), both through the chunked VI frontend
     (tracking/vi_fused.py). Reference anchor: the same 20 fps camera-rate
-    contract (stereo-inertial EuRoC is the reference's flagship config)."""
+    contract (stereo-inertial EuRoC is the reference's flagship config).
+    stdout_json=False routes the result JSON to stderr with the [bench]
+    prefix (used when this runs as a secondary scene after the headline
+    mono bench — the driver contract is ONE stdout JSON line)."""
     import orb_slam3_modified_tpu  # noqa: F401  (precision + cache config)
     import os
 
@@ -174,16 +316,18 @@ def main_vi(mode: str):
     )
     for line in fe.stats.dump().splitlines():
         print(f"[bench]   {line}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": f"{mode}_tracking_fps_with_extraction",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 20.0, 3),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": f"{mode}_tracking_fps_with_extraction",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 20.0, 3),
+        }
     )
+    if stdout_json:
+        print(line)
+    else:
+        print(f"[bench] {line}", file=sys.stderr)
 
 
 def main():
@@ -287,5 +431,29 @@ if __name__ == "__main__":
     _mode = os.environ.get("BENCH_MODE", "mono")
     if _mode in ("vi", "si"):
         main_vi(_mode)
+    elif _mode == "hard":
+        run_hard_scene()
     else:
-        main()
+        _t0 = time.perf_counter()
+        main()  # headline: the ONE stdout JSON line the driver parses
+        # extended coverage for the driver artifact tail (stderr): the
+        # harder ring/loop scene and one VI config. Budget-guarded so a
+        # cold compilation cache cannot push the driver bench into a
+        # timeout (round-3 failure mode); the persistent JAX cache makes
+        # the guarded path the common case.
+        if os.environ.get("BENCH_HARD", "1") != "0":
+            try:
+                run_hard_scene()
+            except Exception as e:
+                print(f"[bench] hard scene failed: {e!r}", file=sys.stderr)
+        elapsed = time.perf_counter() - _t0
+        if os.environ.get("BENCH_VI", "1") != "0" and elapsed < 1500:
+            try:
+                main_vi("vi", stdout_json=False)
+            except Exception as e:
+                print(f"[bench] vi scene failed: {e!r}", file=sys.stderr)
+        else:
+            print(
+                f"[bench] vi scene skipped (elapsed {elapsed:.0f}s)",
+                file=sys.stderr,
+            )

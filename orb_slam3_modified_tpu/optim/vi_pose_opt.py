@@ -293,7 +293,10 @@ def vi_pose_optimization_marg(
         r_R = so3.log(dR_c.T @ RiT @ Rc)
         r_v = RiT @ (vc - vp - GRAVITY_VEC * dT) - dV_c
         r_p = RiT @ (pc_b - pp - vp * dT - 0.5 * GRAVITY_VEC * dT * dT) - dP_c
-        r_inert = L_inert.T @ jnp.concatenate([r_R, r_v, r_p])
+        import os as _os
+
+        _w = float(_os.environ.get("ORB_TPU_VI_INERT_W", "1.0"))  # debug
+        r_inert = _w * (L_inert.T @ jnp.concatenate([r_R, r_v, r_p]))
         r_rw = L_rw.T @ jnp.concatenate([dbg_c - dbg_p, dba_c - dba_p])
         r_prior = L_prior.T @ x[:15]
         return jnp.concatenate([r_inert, r_rw, r_prior])

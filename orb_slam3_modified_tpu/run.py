@@ -37,13 +37,24 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--no-loop", action="store_true")
     p.add_argument("--chunked", action="store_true",
-                   help="chunk-pipelined frontend (mono/stereo, visual or "
-                        "visual-inertial; tracking/chunked.py)")
+                   help="chunk-pipelined frontend (all six sensor configs: "
+                        "mono/stereo/rgbd, visual or visual-inertial; "
+                        "tracking/chunked.py)")
     p.add_argument("--chunk-size", type=int, default=16)
     p.add_argument("--sync-mapping", action="store_true",
                    help="run local mapping synchronously at keyframe time "
                         "(deterministic; default overlaps it on a worker "
                         "thread like the reference's LocalMapping thread)")
+    p.add_argument("--debug-out", default=None,
+                   help="write IMU-init debug traces (scale/R_wg/time per "
+                        "staged event) as JSON lines — SaveDebugData parity "
+                        "(reference src/System.cc:1305)")
+    p.add_argument("--viz-out", default=None,
+                   help="write per-frame annotated overlays (keypoints, "
+                        "tracking state, match counts) to this directory "
+                        "(FrameDrawer parity, reference src/FrameDrawer.cc)")
+    p.add_argument("--viz-every", type=int, default=10,
+                   help="overlay every Nth frame (with --viz-out)")
     p.add_argument("--semantic-out", default=None,
                    help="write a colored semantic PLY cloud: replays posed "
                         "frames through the packaged depth+segmentation net "
@@ -168,16 +179,23 @@ def main(argv=None):
         return acc, gyro, dts
 
     chunk_fe = None
-    if args.chunked and args.sensor in ("mono", "stereo", "mono-imu",
-                                        "stereo-imu"):
+    if args.chunked:
         chunk_fe = slam.make_chunked_frontend(
             chunk=args.chunk_size, lag=1,
             stereo="stereo" in args.sensor,
+            rgbd="rgbd" in args.sensor,
             async_mapping=not args.sync_mapping,
         )
 
     n_done = 0
     prev_imu_ts = None
+    drawer = None
+    recent_imgs = None
+    if args.viz_out:
+        from .viz.frame_drawer import FrameDrawer
+
+        drawer = FrameDrawer()
+        recent_imgs = {}  # frame_id -> host image (chunked mode retires late)
     t_start = time.perf_counter()
     for frame in ds:
         img = jnp.asarray(frame.image)
@@ -206,8 +224,15 @@ def main(argv=None):
                 samples = imu_tuple(frame.imu, prev_imu_ts)
                 if frame.imu:
                     prev_imu_ts = frame.imu[-1].ts
-            slam.track_rgbd(img, jnp.asarray(frame.depth), frame.ts,
-                            imu_samples=samples)
+            if chunk_fe is not None:
+                chunk_fe.track_image(
+                    np.asarray(frame.image, np.uint8), frame.ts,
+                    depth_img=np.asarray(frame.depth, np.float32),
+                    imu_samples=samples,
+                )
+            else:
+                slam.track_rgbd(img, jnp.asarray(frame.depth), frame.ts,
+                                imu_samples=samples)
         elif args.sensor == "mono-imu":
             samples = imu_tuple(frame.imu, prev_imu_ts)
             if frame.imu:
@@ -224,6 +249,24 @@ def main(argv=None):
         else:
             slam.track_monocular(img, frame.ts)
         n_done += 1
+        if drawer is not None:
+            recent_imgs[n_done - 1] = np.asarray(frame.image)
+            for stale in [
+                f for f in recent_imgs if f < n_done - 8 * args.chunk_size
+            ]:
+                del recent_imgs[stale]
+            rec = slam.tracker.last
+            if (
+                rec is not None
+                and rec.frame_id % max(1, args.viz_every) == 0
+                and rec.frame_id in recent_imgs
+            ):
+                from .viz.frame_drawer import write_overlay
+
+                write_overlay(
+                    args.viz_out, slam.tracker,
+                    image=recent_imgs.pop(rec.frame_id), drawer=drawer,
+                )
         if args.max_frames and n_done >= args.max_frames:
             break
         if n_done % 100 == 0:
@@ -240,6 +283,10 @@ def main(argv=None):
     slam.save_trajectory_tum(args.out)
     if args.kf_out:
         slam.save_keyframe_trajectory_tum(args.kf_out)
+    if args.debug_out:
+        n_ev = slam.save_debug_data(args.debug_out)
+        print(f"[debug] {n_ev} staged-init events -> {args.debug_out}",
+              file=sys.stderr)
     if args.atlas_out:
         from .slam_map.serialization import save_atlas
 

@@ -346,7 +346,8 @@ class SlamSystem:
 
     def make_chunked_frontend(self, chunk: int = 16, lag: int = 1,
                               async_mapping: bool = True,
-                              stereo: bool = False):
+                              stereo: bool = False,
+                              rgbd: bool = False):
         """Chunk-pipelined image frontend (tracking/chunked.py): one device
         dispatch extracts + tracks `chunk` frames, and keyframe processing
         (local mapping -> loop closing, reference pipeline order) moves to a
@@ -390,6 +391,8 @@ class SlamSystem:
         ct = ChunkedTracker(
             self.tracker, self.ecfg, chunk=chunk, lag=lag, map_lock=lock,
             stereo=stereo, min_z=self.cfg.min_depth,
+            rgbd=rgbd, depth_scale=self.cfg.depth_scale,
+            th_far=self.cfg.th_far_points,
         )
         if async_mapping:
             # bounded pipeline: the tracker may run a couple of keyframes
@@ -562,6 +565,23 @@ class SlamSystem:
             )
         with open(path, "w") as f:
             f.write("\n".join(lines) + "\n")
+
+    def save_debug_data(self, path: str):
+        """IMU-init observability dump (reference: System::SaveDebugData
+        writes init_Rwg/Scale/Time traces, src/System.cc:1305 region).
+        One JSON line per staged-init/refinement event: kind, stage, solved
+        scale, gravity rotation, solve wall time, sequence timestamp,
+        whether it was applied."""
+        import json
+
+        imu = self.tracker.imu
+        events = imu.init_log if imu is not None else []
+        with open(path, "w") as f:
+            for e in events:
+                row = dict(e)
+                row["R_wg"] = np.asarray(row["R_wg"]).reshape(-1).tolist()
+                f.write(json.dumps(row) + "\n")
+        return len(events)
 
     def shutdown(self):
         """Reference: System::Shutdown (src/System.cc:555)."""

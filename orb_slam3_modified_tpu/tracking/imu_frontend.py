@@ -13,10 +13,13 @@ chain. Camera<->body extrinsics follow the reference's Tbc convention.
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 from ..imu.preintegration import (
     ImuBias,
@@ -323,8 +326,11 @@ class ImuFrontend:
             # ApplyScaledRotation, src/LocalMapping.cc:1280-1300; VIBA1/VIBA2
             # re-run it with 1/1e5 and 0/0). The newest KF's pose anchors the
             # gauge so the tracker's current pose stays consistent.
-            kfs2, pres2 = snap[0], snap[1]
-            self._full_vi_ba(slam_map, tracker, kfs2, pres2[1:])
+            import os as _os
+
+            if _os.environ.get("ORB_TPU_NO_BG_VIBA", "0") != "1":  # debug
+                kfs2, pres2 = snap[0], snap[1]
+                self._full_vi_ba(slam_map, tracker, kfs2, pres2[1:])
         return ok
 
     def run_pending_init(self, slam_map, tracker):
@@ -363,7 +369,10 @@ class ImuFrontend:
                 slam_map, tracker, due, snap, res, _time.perf_counter() - t0
             )
         if ok and due == "init":
-            self._bg_full_vi_ba(slam_map, tracker, epoch)
+            import os as _os
+
+            if _os.environ.get("ORB_TPU_NO_BG_VIBA", "0") != "1":  # debug knob
+                self._bg_full_vi_ba(slam_map, tracker, epoch)
         return ok
 
     def _snapshot_chain(self, slam_map):
@@ -435,6 +444,11 @@ class ImuFrontend:
                 self.init_log[-1]["applied"] = False
                 return False
         self.init_log[-1]["applied"] = True
+        log.info(
+            "staged-init commit: kind=%s stage=%d scale=%.4f tilt=%.4f "
+            "t_solve=%.2fs K=%d",
+            kind, self.stage, scale, tilt, t_solve, len(kfs2),
+        )
         # apply gravity alignment + scale to the whole map
         # (reference: Map::ApplyScaledRotation include/Map.h:118 via
         # InitializeIMU src/LocalMapping.cc:1283)
@@ -501,8 +515,20 @@ class ImuFrontend:
             slam_map, tcfg, kfs, pres, fixed, prior_g, prior_a, self.cfg,
             obs_bucket=16384, state_fixed=np.zeros(len(kfs), bool),
         )
+        pre_R = slam_map.kf_R[kfs_np].copy()
+        pre_t = slam_map.kf_t[kfs_np].copy()
         res = vi_bundle_adjust(prob, tcfg.cam, 2, 10)
         write_back_vi(slam_map, res, kfs_np, mp_sel)
+        if log.isEnabledFor(logging.INFO):
+            c_pre = -np.einsum("kij,ki->kj", pre_R, pre_t)
+            c_post = -np.einsum(
+                "kij,ki->kj", slam_map.kf_R[kfs_np], slam_map.kf_t[kfs_np]
+            )
+            dc = np.linalg.norm(c_post - c_pre, axis=-1)
+            log.info(
+                "sync full VI BA: stage=%d K=%d max|dc|=%.3f dc[-1]=%.3f",
+                self.stage, len(kfs), float(dc.max()), float(dc[-1]),
+            )
         self.v_w = np.asarray(res.v_w)[len(kfs) - 1].astype(np.float32)
         self.bias = ImuBias(
             jnp.asarray(np.asarray(res.bg)[len(kfs) - 1]),
@@ -562,6 +588,22 @@ class ImuFrontend:
             if alive[-1]:
                 self.bias = ImuBias(
                     jnp.asarray(bg_opt[-1]), jnp.asarray(ba_opt[-1])
+                )
+            if log.isEnabledFor(logging.INFO):
+                c_pre = -np.einsum(
+                    "kij,ki->kj", pre_R[alive], pre_t[alive]
+                )
+                c_post = -np.einsum(
+                    "kij,ki->kj",
+                    slam_map.kf_R[kfs[alive]], slam_map.kf_t[kfs[alive]],
+                )
+                dc = np.linalg.norm(c_post - c_pre, axis=-1)
+                log.info(
+                    "bg full VI BA commit: stage=%d K=%d alive=%d "
+                    "max|dc|=%.3f dc[-1]=%.3f",
+                    self.stage, K0, int(alive.sum()),
+                    float(dc.max()) if len(dc) else -1.0,
+                    float(dc[-1]) if len(dc) else -1.0,
                 )
 
 

@@ -51,6 +51,19 @@ _FIXED_INFO = np.diag(
     np.concatenate([np.full(6, 1e6), np.full(3, 1e4), np.full(6, 1e4)])
 ).astype(np.float32)
 
+# WEAK anchor for the brute-force recovery solve: after a background map
+# correction (staged-init full VI BA, loop/GBA) the dead-reckoned prediction
+# can be decimeters from the corrected map; a near-fixed prior pins the pose
+# to that wrong prediction through the (stiff) IMU factor and re-acquisition
+# becomes structurally impossible — the solve rejects every visual match.
+# The recovery pass instead frees pose/velocity (bias stays pinned: it
+# cannot jump frame-to-frame) so the brute matches can pull the state onto
+# the corrected map, the in-device analog of the reference's prior-free
+# TrackReferenceKeyFrame fallback (src/Tracking.cc:2723).
+_WEAK_INFO = np.diag(
+    np.concatenate([np.full(6, 1e-1), np.full(3, 1.0), np.full(6, 1e4)])
+).astype(np.float32)
+
 
 class VITrackState(NamedTuple):
     R: jnp.ndarray  # (3, 3) camera T_cw
@@ -98,6 +111,7 @@ def make_vi_step_body(
     walk_a = float(imu_cfg.walk_acc)
     freq = float(imu_cfg.freq)
     fixed_info = jnp.asarray(_FIXED_INFO)
+    weak_info = jnp.asarray(_WEAK_INFO)
 
     from .fused import CACHE_CAP as cache_cap_static
 
@@ -150,7 +164,7 @@ def make_vi_step_body(
         # dominate its cost)
         n_rows = min(feat_cap, int(cache_cap_static))
 
-        def vi_solve(T_seed, idx, keep):
+        def vi_solve(T_seed, idx, keep, H_prior=None):
             order = jnp.argsort(-keep.astype(jnp.int32))  # matched first
             sel = order[:n_rows]
             idx_s = idx[sel]
@@ -160,7 +174,7 @@ def make_vi_step_body(
             res = vi_pose_optimization_marg(
                 T_seed, cam, cache.pos[sel], f_uv[idx_s], inv_s2, keep[sel],
                 R_wb_prev, p_wb_prev, state.v_w,
-                state.H_prior,
+                state.H_prior if H_prior is None else H_prior,
                 pre.dT, pre.dR, pre.dV, pre.dP,
                 pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa,
                 C=pre.C, iters=iters, R_bc=R_bc, t_bc=t_bc,
@@ -188,9 +202,12 @@ def make_vi_step_body(
                 max_dist=TH_LOW, ratio=0.8,
             )
             keepr = resolve_duplicate_targets(idxr, okr, distr, feat_cap)
-            resr0 = vi_solve(T_pred, idxr, keepr)
+            # weak prior: let the brute matches pull pose/velocity onto the
+            # (possibly just-corrected) map instead of pinning them to the
+            # dead-reckoned prediction — see _WEAK_INFO
+            resr0 = vi_solve(T_pred, idxr, keepr, H_prior=weak_info)
             idxr2, keepr2 = match(resr0.T_cw, 6.0)
-            resr = vi_solve(resr0.T_cw, idxr2, keepr2)
+            resr = vi_solve(resr0.T_cw, idxr2, keepr2, H_prior=weak_info)
             return resr, idxr2, keepr2
 
         def no_recovery(_):
@@ -213,11 +230,18 @@ def make_vi_step_body(
         ok = n_inl >= 20
 
         # accepted: solved state; rejected: IMU dead-reckoned state
+        import os as _os
+
+        _freeze = _os.environ.get("ORB_TPU_VI_FREEZE_BIAS", "0") == "1"
         R_new = jnp.where(ok, res.T_cw.R, T_pred.R)
         t_new = jnp.where(ok, res.T_cw.t, T_pred.t)
         v_new = jnp.where(ok, res.v_w, v_pred)
-        bg_new = jnp.where(ok, state.bg + res.dbg, state.bg)
-        ba_new = jnp.where(ok, state.ba + res.dba, state.ba)
+        bg_new = state.bg if _freeze else jnp.where(
+            ok, state.bg + res.dbg, state.bg
+        )
+        ba_new = state.ba if _freeze else jnp.where(
+            ok, state.ba + res.dba, state.ba
+        )
         # cap the carried information: the reference re-anchors the prior at
         # every keyframe (LastKeyFrame variant); the device chain only sees
         # keyframes at retire time, so an uncapped Schur carry compounds
@@ -317,6 +341,53 @@ def make_vi_chunk_step_stereo(
             scan_body, state, (feats_l, feats_r, acc, gyro, dts, imu_valid)
         )
         return state2, outs, feats_l, urs, depths
+
+    return chunk_step
+
+
+def make_vi_chunk_step_rgbd(
+    cam, inv_s2_levels, ecfg, imu_cfg, bf: float,
+    depth_scale: float = 1.0, th_far: float = 0.0, iters: int = 6,
+):
+    """Jitted RGB-D-inertial chunk (reference config:
+    Examples/RGB-D-Inertial/rgbd_inertial_realsense_D435i.cc): per-frame
+    depth lookup -> virtual-right uR rows in the joint VI frame solve."""
+    from ..features.extractor import extract_batch
+    from ..ops.stereo_match import depth_from_depthmap
+
+    bf = float(bf)
+    depth_scale = float(depth_scale)
+    th_far = float(th_far)
+    body = make_vi_step_body(
+        cam, inv_s2_levels, ecfg.n_features, imu_cfg, iters, bf=bf
+    )
+
+    @jax.jit
+    def chunk_step(state, cache, imgs, dmaps, acc, gyro, dts, imu_valid):
+        feats = extract_batch(imgs.astype(jnp.float32), ecfg)
+
+        def scan_body(s, x):
+            f, dm, a, g, d_t, v = x
+            d = depth_from_depthmap(f.uv, dm, depth_scale)
+            if th_far > 0:
+                d = jnp.where(d > th_far, -1.0, d)
+            if bf > 0:
+                ur = jnp.where(
+                    (d > 0) & f.valid,
+                    f.uv[:, 0] - bf / jnp.maximum(d, 1e-6),
+                    -1.0,
+                )
+            else:
+                ur = jnp.full(f.uv.shape[0], -1.0, jnp.float32)
+            s2, out = body(
+                s, cache, f.uv, f.desc, f.level, f.valid, a, g, d_t, v, ur
+            )
+            return s2, (out, ur, d)
+
+        state2, (outs, urs, depths) = jax.lax.scan(
+            scan_body, state, (feats, dmaps, acc, gyro, dts, imu_valid)
+        )
+        return state2, outs, feats, urs, depths
 
     return chunk_step
 

@@ -76,6 +76,71 @@ class TestCloud:
         assert "ply" in head and "element vertex" in head
 
 
+class TestFrameDrawer:
+    def test_overlay_marks_and_status_bar(self, tmp_path):
+        """FrameDrawer parity (reference: src/FrameDrawer.cc DrawFrame —
+        keypoint markers split tracked/untracked plus a status text bar):
+        rendered overlay must contain green tracked markers, blue hollow
+        untracked markers, and the appended bar row."""
+        import os
+
+        from orb_slam3_modified_tpu.viz.frame_drawer import FrameDrawer
+
+        rng = np.random.default_rng(3)
+        h, w, F = 120, 160, 40
+        img = rng.uniform(0, 255, (h, w)).astype(np.uint8)
+        uv = rng.uniform(10, [w - 10, h - 10], (F, 2)).astype(np.float32)
+        valid = np.ones(F, bool)
+        tracked = np.zeros(F, bool)
+        tracked[:25] = True
+        d = FrameDrawer()
+        d.update(img, uv, valid, tracked, state=1, n_kfs=7, n_mps=321,
+                 frame_id=42)
+        out = d.render()
+        assert out.shape == (h + 22, w, 3)
+        # tracked marker green present at a tracked keypoint
+        x, y = np.round(uv[0]).astype(int)
+        assert (out[y, x] == [0, 220, 0]).all()
+        # untracked hollow blue ring around an untracked keypoint
+        x, y = np.round(uv[30]).astype(int)
+        assert (out[y - 2, x] == [80, 160, 255]).all()
+        assert not (out[y, x] == [80, 160, 255]).all()  # hollow center
+        p = d.save(str(tmp_path / "overlay.png"))
+        assert os.path.exists(p) and os.path.getsize(p) > 500
+
+    def test_update_from_tracker_and_vo_flag(self):
+        from orb_slam3_modified_tpu.viz.frame_drawer import FrameDrawer
+        from orb_slam3_modified_tpu.cameras import Camera
+        from orb_slam3_modified_tpu.slam_map.map_state import MapState
+        from orb_slam3_modified_tpu.tracking.tracker import (
+            Tracker, TrackerConfig, FrameRecord,
+        )
+        from orb_slam3_modified_tpu.features.extractor import Features
+        from orb_slam3_modified_tpu.lie.se3 import SE3
+        import jax.numpy as jnp
+
+        cam = Camera.pinhole(100.0, 100.0, 64.0, 48.0, width=128, height=96)
+        m = MapState.create(max_kf=4, max_mp=64, feat_cap=8)
+        t = Tracker(TrackerConfig(cam=cam), m)
+        F = 8
+        feats = Features(
+            uv=jnp.asarray(np.random.default_rng(0).uniform(5, 90, (F, 2)),
+                           jnp.float32),
+            desc=jnp.zeros((F, 8), jnp.uint32),
+            angle=jnp.zeros(F), level=jnp.zeros(F, jnp.int32),
+            response=jnp.ones(F), valid=jnp.ones(F, bool),
+        )
+        t.last = FrameRecord(
+            feats, SE3.identity(), np.full(F, -1, np.int32), 0.0, 5
+        )
+        t.vo_mode = True
+        t.state = 1
+        d = FrameDrawer()
+        assert d.update_from_tracker(t)
+        out = d.render()
+        assert out.shape[0] == 96 + 22
+
+
 class TestViewer:
     def test_plot_map(self, tmp_path):
         from orb_slam3_modified_tpu.slam_map.map_state import MapState

@@ -92,6 +92,31 @@ class TestScaleRefinement:
         assert imu.init_log and imu.init_log[-1]["kind"] == "refine"
         assert imu.init_log[-1]["applied"]
 
+    def test_save_debug_data_dump(self, tmp_path):
+        """SaveDebugData parity (reference: System::SaveDebugData,
+        src/System.cc:1305): init traces dump as JSON lines with the solved
+        scale / gravity rotation / solve time per event."""
+        import json
+
+        from orb_slam3_modified_tpu.system.slam_system import SlamSystem
+
+        imu, m = _frontend_with_chain(mis_scale=1.06)
+        assert imu.maybe_initialize(m, _DummyTracker())
+        sys_obj = SlamSystem.__new__(SlamSystem)  # facade saver only
+
+        class _T:
+            pass
+
+        sys_obj.tracker = _T()
+        sys_obj.tracker.imu = imu
+        p = str(tmp_path / "debug.jsonl")
+        n = sys_obj.save_debug_data(p)
+        assert n == len(imu.init_log) >= 1
+        rows = [json.loads(line) for line in open(p)]
+        assert rows[-1]["kind"] == "refine" and rows[-1]["applied"]
+        assert len(rows[-1]["R_wg"]) == 9
+        assert rows[-1]["t_solve"] >= 0
+
     def test_refinement_noop_when_metric(self):
         """Once the map is metric, later events must measure s~1 and leave
         the world untouched (|s-1| <= 0.002 gate)."""
