@@ -145,6 +145,7 @@ class LocalMapper:
             jnp.asarray(np.asarray(res.bg)[K - 1]),
             jnp.asarray(np.asarray(res.ba)[K - 1]),
         )
+        imu.bias_epoch += 1
 
     # ------------------------------------------------------- triangulation
     def _create_new_points(self, k: int):

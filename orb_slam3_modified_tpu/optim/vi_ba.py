@@ -553,6 +553,17 @@ def _chain_informations(pres, E):
     C = np.tile(np.eye(9, dtype=np.float32), (E, 1, 1))
     for e, p in enumerate(pres):
         C[e] = np.asarray(p.C)[:9, :9]
+        # gravity-direction uncertainty floor (~0.57 deg 1-sigma residual
+        # init tilt): without it the ideal-IMU covariance overstates the
+        # edge confidence by tens of sigma against an imperfectly aligned
+        # world and the joint solve fights the visual rows (same floor as
+        # optim/vi_pose_opt.py)
+        dt = float(np.asarray(p.dT))
+        sg = 9.81 * 0.01
+        C[e, 3:6, 3:6] += np.eye(3, dtype=np.float32) * (sg * dt) ** 2
+        C[e, 6:9, 6:9] += np.eye(3, dtype=np.float32) * (
+            0.5 * sg * dt * dt
+        ) ** 2
     C = C + np.eye(9, dtype=np.float32) * 1e-10
     return np.linalg.inv(C)
 

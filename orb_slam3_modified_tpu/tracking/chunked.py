@@ -255,6 +255,17 @@ class ChunkedTracker:
         self._low_streak = 0
         self.hard_floor = 12
         self.low_streak_limit = 3
+        # soft-loss resync: a SUSTAINED sag (tens of frames in the 12..25
+        # inlier band) means the device path slid onto a false
+        # self-consistent solution (aliased texture / stale association
+        # lattice) — still "tracking", but every keyframe it creates
+        # poisons the map and the slide ends in a real loss with the map
+        # half-culled (measured on the ring scene: slow 46->20 decay, then
+        # instant 338-inlier health after the slow-path reloc). Firing the
+        # replay EARLY costs 1-3 slow frames instead.
+        self._sag_streak = 0
+        self.sag_floor = 35
+        self.sag_budget = 16
         # per-stage wall-time breakdown (REGISTER_TIMES parity for the
         # chunked frontend); bench.py dumps the summary to stderr
         self.stats = TimeStats()
@@ -293,6 +304,10 @@ class ChunkedTracker:
         # used to finite-difference the VI-switch velocity seed
         self._frame_dt = None
         self._last_ts = None
+        # consumption epoch against imu.bias_epoch: solver-refined biases
+        # (VI-window BA / staged init) are pushed into the device state at
+        # the next dispatch (UpdateFrameIMU parity, src/Tracking.cc:3983)
+        self._bias_epoch = 0
 
     # ------------------------------------------------------------- cache
     def refresh_cache(self):
@@ -468,35 +483,49 @@ class ChunkedTracker:
         return changed
 
     def _record_anchor(self):
-        """Record the reference keyframe's current pose (map lock held)."""
+        """Record poses of the reference keyframe AND two close covisibles
+        (map lock held). Multiple candidates: keyframe culling between
+        dispatches silently invalidated a single anchor, leaving the device
+        state uncorrected across a background map move — the measured
+        hundreds-of-px divergence on the ring scene."""
         t = self.tracker
         m = t.map
         k = t.ref_kf
-        if k >= 0 and m.kf_valid[k]:
-            T = np.eye(4)
-            T[:3, :3] = m.kf_R[k]
-            T[:3, 3] = m.kf_t[k]
-            self._anchor = (int(k), int(m.kf_frame_id[k]), T)
-        else:
+        if k < 0 or not m.kf_valid[k]:
             self._anchor = None
+            return
+        cands = [int(k)] + [
+            int(x) for x in m.best_covisible(int(k), 2, min_weight=5)
+        ]
+        anchors = []
+        for a in cands:
+            if m.kf_valid[a]:
+                T = np.eye(4)
+                T[:3, :3] = m.kf_R[a]
+                T[:3, 3] = m.kf_t[a]
+                anchors.append((a, int(m.kf_frame_id[a]), T))
+        self._anchor = anchors or None
 
     def _apply_anchor_correction(self):
-        """Apply the anchor keyframe's pose delta since the last record to
-        the device state (map lock held). Catches every background commit
-        that moved the map — async local BA, VI window refinement, post-init
-        full VI BA, loop/GBA corrections — between dispatches."""
+        """Apply the first surviving anchor keyframe's pose delta since the
+        last record to the device state (map lock held). Catches every
+        background commit that moved the map — async local BA, VI window
+        refinement, post-init full VI BA, loop/GBA corrections — between
+        dispatches."""
         if self._anchor is None or self.state is None:
             return
-        ak, afid, aT = self._anchor
         m = self.tracker.map
-        if not (m.kf_valid[ak] and int(m.kf_frame_id[ak]) == afid):
+        for ak, afid, aT in self._anchor:
+            if not (m.kf_valid[ak] and int(m.kf_frame_id[ak]) == afid):
+                continue
+            T_now = np.eye(4)
+            T_now[:3, :3] = m.kf_R[ak]
+            T_now[:3, 3] = m.kf_t[ak]
+            W = np.linalg.inv(aT) @ T_now
+            if np.abs(W - np.eye(4)).max() > 1e-7:
+                self._apply_world_correction(W)
             return
-        T_now = np.eye(4)
-        T_now[:3, :3] = m.kf_R[ak]
-        T_now[:3, 3] = m.kf_t[ak]
-        W = np.linalg.inv(aT) @ T_now
-        if np.abs(W - np.eye(4)).max() > 1e-7:
-            self._apply_world_correction(W)
+        log.info("anchor keyframes all culled; device state uncorrected")
 
     def _pad_imu(self, imu_samples):
         """(acc, gyro, dts) -> fixed-cap padded (acc, gyro, dts, valid)."""
@@ -716,6 +745,24 @@ class ChunkedTracker:
                 self.refresh_cache()
                 self._sync_state_from_tracker()
             self._record_anchor()
+            imu = self.imu
+            if (
+                self._vi
+                and imu is not None
+                and self._bias_epoch < imu.bias_epoch
+                and self.state is not None
+            ):
+                # adopt the solver-refined bias (UpdateFrameIMU parity):
+                # the per-frame device walk is random-walk stiff and cannot
+                # absorb init-residual gravity tilt; the window BA's bias
+                # estimate can (measured: without this handoff the stiff
+                # IMU factor fights the visual rows and inliers decay to
+                # the loss floor on fast sweeps)
+                self._bias_epoch = imu.bias_epoch
+                self.state = self.state._replace(
+                    bg=jnp.asarray(np.asarray(imu.bias.bg, np.float32)),
+                    ba=jnp.asarray(np.asarray(imu.bias.ba, np.float32)),
+                )
         if self._step is None:
             if self._vi:
                 from .vi_fused import (
@@ -999,7 +1046,11 @@ class ChunkedTracker:
                 self._low_streak += 1
             else:
                 self._low_streak = 0
-            if n_inl < self.hard_floor:
+            if not dead_reckoned and n_inl < self.sag_floor:
+                self._sag_streak += 1
+            elif not dead_reckoned:
+                self._sag_streak = 0
+            if n_inl < self.hard_floor or self._sag_streak > self.sag_budget:
                 # tracking lost mid-chunk: replay the remainder (this chunk,
                 # all later pending chunks) through the per-frame slow path
                 log.info(
@@ -1013,6 +1064,7 @@ class ChunkedTracker:
                     self._loss_forensics(p, i, T)
                 self._low_streak = 0
                 self._dr_streak = 0
+                self._sag_streak = 0
                 t.state = RECENTLY_LOST
                 t.last = FrameRecord(
                     self._fetch_features(p.feats, i), T, obs_mp, ts, fid,

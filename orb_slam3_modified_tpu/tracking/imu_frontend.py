@@ -88,6 +88,16 @@ class ImuFrontend:
         # rig is actually moving, mirroring the reference's mTinit clock.
         self.bad_imu = False
         self.t_motion = 0.0
+        # bumped whenever a SOLVER (staged init, full VI BA, the mapper's
+        # VI-window refinement) re-estimates self.bias — the chunked
+        # frontend pushes the refined bias into the device-resident state at
+        # the next dispatch (reference: UpdateFrameIMU resets the frame bias
+        # to the keyframe's solved bias after LocalInertialBA/init,
+        # src/Tracking.cc:3983). The per-frame device walk is random-walk
+        # stiff by design and cannot absorb init-residual gravity tilt on
+        # its own (measured: the accel bias must reach ~g*sin(tilt) before
+        # the stiff IMU factor stops fighting the visual rows).
+        self.bias_epoch = 0
         # ---- staged-init execution mode ------------------------------------
         # Synchronous (default): maybe_initialize solves inline in the
         # tracker's keyframe path — deterministic, used by the per-frame
@@ -400,8 +410,33 @@ class ImuFrontend:
 
     def _solve_inertial(self, snap, kind):
         kfs2, pres2, R_wb, p_wb = snap
-        chain = InertialChain.from_preintegrated(pres2[1:])
-        v0 = jnp.zeros((len(kfs2), 3), jnp.float32)
+        # pad the chain to a power-of-two keyframe bucket: the solve's
+        # parameter vector is 9+3K, so every new chain length was a fresh
+        # XLA compile — measured 52 s on the tunneled chip, landing right
+        # in the tracking stream at each staged event. Padded edges carry
+        # dT=0 identity preintegrations and valid=False; padded states are
+        # copies of the last row (their residual rows are masked and their
+        # velocity columns have zero jacobian, so they stay at the seed).
+        K0 = len(kfs2)
+        Kb = 8
+        while Kb < K0:
+            Kb *= 2
+        pres = list(pres2[1:])
+        if Kb > K0:
+            pad = Preintegrated.identity(self.bias)
+            pres = pres + [pad] * (Kb - K0)
+            R_wb = np.concatenate(
+                [R_wb, np.tile(R_wb[-1:], (Kb - K0, 1, 1))]
+            )
+            p_wb = np.concatenate(
+                [p_wb, np.tile(p_wb[-1:], (Kb - K0, 1))]
+            )
+        chain = InertialChain.from_preintegrated(pres)
+        if Kb > K0:
+            mask = np.zeros(Kb - 1, bool)
+            mask[: K0 - 1] = True
+            chain = chain._replace(valid=jnp.asarray(mask))
+        v0 = jnp.zeros((Kb, 3), jnp.float32)
         # scale is solved once for MONOCULAR maps and re-solved by the
         # periodic refinement; VIBA1/VIBA2 — and stereo/RGB-D maps, which
         # are metric from the baseline — keep it fixed (reference:
@@ -409,7 +444,11 @@ class ImuFrontend:
         # ScaleRefinement always frees it, src/LocalMapping.cc:1429)
         fix_scale = (self.stage >= 1 or not self.cfg.mono) and kind != "refine"
         return inertial_only_optimization(
-            chain, jnp.asarray(R_wb), jnp.asarray(p_wb), v0, fix_scale, 40
+            # 80 damped-GN iterations: the 40-iteration budget left the
+            # stereo (fix-scale) gravity estimate ~7 deg under-converged on
+            # fast ring sequences; the loop is rolled, so compile time is
+            # unchanged and runtime stays a one-off mapper-thread cost
+            chain, jnp.asarray(R_wb), jnp.asarray(p_wb), v0, fix_scale, 80
         )
 
     def _commit_init(self, slam_map, tracker, kind, snap, res, t_solve) -> bool:
@@ -471,7 +510,8 @@ class ImuFrontend:
                 slam_map.kf_bias[k, :3] = np.asarray(res.bg)
                 slam_map.kf_bias[k, 3:] = np.asarray(res.ba)
             if self.stage == 0 or not self.initialized:
-                self.v_w = v_new[-1].astype(np.float32)
+                # padded solve rows (chain bucket) sit beyond len(kfs2)
+                self.v_w = v_new[len(kfs2) - 1].astype(np.float32)
             else:
                 # live velocity has advanced past the snapshot (async):
                 # transform it instead of rolling back to the chain's
@@ -479,6 +519,7 @@ class ImuFrontend:
             self.bias = ImuBias(
                 jnp.asarray(np.asarray(res.bg)), jnp.asarray(np.asarray(res.ba))
             )
+            self.bias_epoch += 1
             self.initialized = True
             self.stage += 1
             slam_map.imu_initialized = True
@@ -534,6 +575,7 @@ class ImuFrontend:
             jnp.asarray(np.asarray(res.bg)[len(kfs) - 1]),
             jnp.asarray(np.asarray(res.ba)[len(kfs) - 1]),
         )
+        self.bias_epoch += 1
 
     def _bg_full_vi_ba(self, slam_map, tracker, epoch):
         """Async FullInertialBA: snapshot under the lock, solve unlocked on
@@ -589,6 +631,7 @@ class ImuFrontend:
                 self.bias = ImuBias(
                     jnp.asarray(bg_opt[-1]), jnp.asarray(ba_opt[-1])
                 )
+                self.bias_epoch += 1
             if log.isEnabledFor(logging.INFO):
                 c_pre = -np.einsum(
                     "kij,ki->kj", pre_R[alive], pre_t[alive]

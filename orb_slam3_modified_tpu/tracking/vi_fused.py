@@ -164,7 +164,7 @@ def make_vi_step_body(
         # dominate its cost)
         n_rows = min(feat_cap, int(cache_cap_static))
 
-        def vi_solve(T_seed, idx, keep, H_prior=None):
+        def vi_solve(T_seed, idx, keep, H_prior=None, it=None):
             order = jnp.argsort(-keep.astype(jnp.int32))  # matched first
             sel = order[:n_rows]
             idx_s = idx[sel]
@@ -177,7 +177,8 @@ def make_vi_step_body(
                 state.H_prior if H_prior is None else H_prior,
                 pre.dT, pre.dR, pre.dV, pre.dP,
                 pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa,
-                C=pre.C, iters=iters, R_bc=R_bc, t_bc=t_bc,
+                C=pre.C, iters=iters if it is None else it,
+                R_bc=R_bc, t_bc=t_bc,
                 # rectified-stereo rows (reference: EdgeStereoOnlyPose in
                 # the inertial frame solves)
                 ur_obs=None if (f_ur is None or bf <= 0) else f_ur[idx_s],
@@ -204,10 +205,16 @@ def make_vi_step_body(
             keepr = resolve_duplicate_targets(idxr, okr, distr, feat_cap)
             # weak prior: let the brute matches pull pose/velocity onto the
             # (possibly just-corrected) map instead of pinning them to the
-            # dead-reckoned prediction — see _WEAK_INFO
-            resr0 = vi_solve(T_pred, idxr, keepr, H_prior=weak_info)
+            # dead-reckoned prediction — see _WEAK_INFO. Doubled iteration
+            # budget: the seed can be hundreds of px off after a map
+            # correction and the nominal budget under-converges there.
+            resr0 = vi_solve(
+                T_pred, idxr, keepr, H_prior=weak_info, it=2 * iters
+            )
             idxr2, keepr2 = match(resr0.T_cw, 6.0)
-            resr = vi_solve(resr0.T_cw, idxr2, keepr2, H_prior=weak_info)
+            resr = vi_solve(
+                resr0.T_cw, idxr2, keepr2, H_prior=weak_info, it=2 * iters
+            )
             return resr, idxr2, keepr2
 
         def no_recovery(_):
@@ -227,7 +234,18 @@ def make_vi_step_body(
         idx_f = jnp.where(use_rec, idx_r, idx2)
         good = jnp.where(use_rec, keep_r & res_r.inliers, keep2 & res2.inliers)
         n_inl = res.n_inliers
-        ok = n_inl >= 20
+        # physically implausible velocity jump = a marginal solve that went
+        # wrong (measured: a 26-inlier acceptance put |v| at 4x truth and
+        # the carried prior locked it in, ending in a dead-reckon spiral);
+        # reject and dead-reckon instead — the next frames' recovery pass
+        # can still re-acquire under the weak prior
+        dv_jump = jnp.linalg.norm(res.v_w - v_pred)
+        # recovery solves and STRONG visual consensus are exempt: after a
+        # dead-reckon stretch under a gravity-tilt error the true velocity
+        # correction exceeds the gate, and rejecting a 40+-inlier solve for
+        # it just re-enters the divergent prediction (measured accept/
+        # reject oscillation on the stereo ring)
+        ok = (n_inl >= 20) & ((dv_jump < 3.0) | use_rec | (n_inl >= 40))
 
         # accepted: solved state; rejected: IMU dead-reckoned state
         import os as _os
