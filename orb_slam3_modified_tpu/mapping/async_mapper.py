@@ -43,6 +43,14 @@ class AsyncLocalMapper:
         self._worker.start()
         self.processed = 0
         self.errors: list = []
+        # staged-init solves run on their own single-flight thread: a cold
+        # inertial solve costs tens of seconds on a remote-compile chip, and
+        # running it inline in the worker loop stalled keyframe processing
+        # (no triangulation) until the tracking frontier starved into a loss
+        # (measured at every VIBA event on the tunneled v5e). The init hook
+        # does its own snapshot/commit locking and epoch-aborts, so only
+        # single-flight needs enforcing here.
+        self._init_thread: threading.Thread | None = None
 
     def on_keyframe(self, k: int):
         """Tracker-side hook: enqueue and return immediately. The slot's
@@ -76,8 +84,14 @@ class AsyncLocalMapper:
                 # (src/LocalMapping.cc:148-155); a backlog defers the solve,
                 # never the map growth
                 self.mapper.on_keyframe(k, skip_ba=not self.queue.empty())
-                if self.init_fn is not None:
-                    self.init_fn()
+                if self.init_fn is not None and (
+                    self._init_thread is None
+                    or not self._init_thread.is_alive()
+                ):
+                    self._init_thread = threading.Thread(
+                        target=self._run_init, daemon=True
+                    )
+                    self._init_thread.start()
                 if self.post_fn is not None:
                     with self.lock:
                         self.post_fn(k)
@@ -105,12 +119,25 @@ class AsyncLocalMapper:
         ):
             _time.sleep(0.002)
 
+    def _run_init(self):
+        try:
+            self.init_fn()
+        except Exception as e:  # surfaced via flush(), like worker errors
+            self.errors.append(("init", repr(e)))
+
     def flush(self, timeout: float = 120.0):
-        """Block until the queue drains (end of sequence / tests)."""
+        """Block until the queue drains AND any in-flight staged-init solve
+        commits (end of sequence / tests)."""
         self.queue.join()
+        t = self._init_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=timeout)
         if self.errors:
             raise RuntimeError(f"async mapper errors: {self.errors}")
 
     def shutdown(self):
         self._stop = True
         self._worker.join(timeout=5.0)
+        t = self._init_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=5.0)

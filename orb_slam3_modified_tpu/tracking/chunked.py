@@ -255,17 +255,19 @@ class ChunkedTracker:
         self._low_streak = 0
         self.hard_floor = 12
         self.low_streak_limit = 3
-        # soft-loss resync: a SUSTAINED sag (tens of frames in the 12..25
-        # inlier band) means the device path slid onto a false
-        # self-consistent solution (aliased texture / stale association
-        # lattice) — still "tracking", but every keyframe it creates
-        # poisons the map and the slide ends in a real loss with the map
-        # half-culled (measured on the ring scene: slow 46->20 decay, then
-        # instant 338-inlier health after the slow-path reloc). Firing the
-        # replay EARLY costs 1-3 slow frames instead.
+        # soft-loss resync (disabled by default): a SUSTAINED sag in the
+        # 12..35 inlier band can mean the device path slid onto a false
+        # self-consistent solution (aliased texture) that eventually ends
+        # in a real loss. Measured on the ring scenes, firing the slow-path
+        # replay early was NET HARMFUL: it triggers while the map is still
+        # small, the replay then exhausts the RECENTLY_LOST budget and the
+        # <=10-keyframe map gets RESET — while the un-intervened pipeline
+        # usually self-recovers through the forced-keyframe machinery. The
+        # trigger stays available for operators with long sequences and
+        # large maps (set sag_budget to ~16).
         self._sag_streak = 0
         self.sag_floor = 35
-        self.sag_budget = 16
+        self.sag_budget = 10**9  # effectively off
         # per-stage wall-time breakdown (REGISTER_TIMES parity for the
         # chunked frontend); bench.py dumps the summary to stderr
         self.stats = TimeStats()
