@@ -276,18 +276,22 @@ def main_vi(mode: str, stdout_json: bool = True):
     n_warm = 160
     prev_ts = None
     retired = []
+    retire_t = []  # (wall, n_new) per call, for latency percentiles
     t_w = time.perf_counter()
     for i, frame in enumerate(frames):
         samples = imu_tuple(frame.imu, prev_ts)
         if frame.imu:
             prev_ts = frame.imu[-1].ts
-        retired += fe.track_image(
+        new = fe.track_image(
             frame.image.astype(np.uint8), frame.ts,
             img_right=(
                 frame.image_right.astype(np.uint8) if stereo else None
             ),
             imu_samples=samples,
         )
+        retired += new
+        if new and i + 1 > n_warm:
+            retire_t.append((time.perf_counter(), len(new)))
         if i + 1 == n_warm:
             if getattr(slam, "async_mapper", None) is not None:
                 slam.async_mapper.flush()
@@ -316,6 +320,26 @@ def main_vi(mode: str, stdout_json: bool = True):
     )
     for line in fe.stats.dump().splitlines():
         print(f"[bench]   {line}", file=sys.stderr)
+    if len(retire_t) > 2:
+        # retire-to-retire latency percentiles: the whole-run mean folds in
+        # one-time staged-init events and loss recoveries; the p50 shows
+        # the pipeline's steady-state camera-rate headroom (standard
+        # serving-benchmark practice: report percentiles, not just mean)
+        ts_r = np.array([t for t, _ in retire_t])
+        ns = np.array([n for _, n in retire_t])
+        per_event = np.diff(ts_r) / np.maximum(ns[1:], 1)
+        # frame-weighted: an 8-frame chunk retire contributes 8 samples at
+        # its amortized latency, so the percentile is over FRAMES (an
+        # event-weighted median overweights stall events)
+        per_frame = np.repeat(per_event, ns[1:])
+        p50 = float(np.percentile(per_frame, 50))
+        p90 = float(np.percentile(per_frame, 90))
+        print(
+            f"[bench] per-frame latency p50={p50*1e3:.1f}ms "
+            f"(steady-state ~{1.0/max(p50,1e-6):.1f} fps) "
+            f"p90={p90*1e3:.1f}ms",
+            file=sys.stderr,
+        )
     line = json.dumps(
         {
             "metric": f"{mode}_tracking_fps_with_extraction",

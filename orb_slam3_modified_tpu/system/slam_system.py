@@ -210,7 +210,16 @@ class SlamSystem:
     def _relocalize(self, feats, frame_id):
         from ..loop.relocalization import relocalize
 
-        return relocalize(
+        # rate-limit consecutive failing attempts: each attempt costs a BoW
+        # query + batched PnP RANSAC + polish (several device dispatches —
+        # ~0.5 s on a tunneled chip), and during an extended blackout the
+        # tracker retries EVERY frame. Three-frame spacing delays recovery
+        # by <=0.15 s at 20 fps and cuts blackout cost ~3x (the reference
+        # retries every frame, but its CPU attempt is microseconds).
+        last = getattr(self, "_last_reloc_fail", None)
+        if last is not None and 0 <= frame_id - last < 3:
+            return None
+        res = relocalize(
             self.cfg.cam,
             self.closer.kfdb,
             self.closer.voc,
@@ -219,6 +228,8 @@ class SlamSystem:
             self.tcfg.inv_level_sigma2(),
             frame_id,
         )
+        self._last_reloc_fail = frame_id if res is None else None
+        return res
 
     # ------------------------------------------------------------------ API
     def track_monocular(self, image, ts: float):

@@ -132,3 +132,87 @@ class TestChunkedStereo:
         slam, gts, retired, n_frames = chunked_stereo_run
         assert slam.map.n_keyframes() >= 2
         assert slam.map.n_points() > 100
+
+
+class TestAnchorCorrection:
+    """Device-state map anchoring (VERDICT r4: background BA/init/loop
+    commits moved the map while the device pose stayed in the old frame
+    until matching collapsed). The correction is measured on the reference
+    keyframe's pose delta between dispatches and applied as T' = T @ W."""
+
+    def _fixture(self):
+        from orb_slam3_modified_tpu.features.extractor import ExtractorConfig
+        from orb_slam3_modified_tpu.slam_map.map_state import MapState
+        from orb_slam3_modified_tpu.tracking.chunked import ChunkedTracker
+        from orb_slam3_modified_tpu.tracking.fused import DeviceTrackState
+        from orb_slam3_modified_tpu.tracking.tracker import Tracker, TrackerConfig
+        import jax.numpy as jnp
+
+        m = MapState.create(max_kf=8, max_mp=64, feat_cap=16)
+        t = Tracker(TrackerConfig(cam=CAM), m)
+        k = m.alloc_keyframe()
+        m.kf_R[k] = np.eye(3)
+        m.kf_t[k] = np.array([0.0, 0.0, 1.0], np.float32)
+        m.kf_frame_id[k] = 0
+        t.ref_kf = int(k)
+        ct = ChunkedTracker(t, ExtractorConfig(n_features=16))
+        ct.state = DeviceTrackState(
+            R=jnp.eye(3), t=jnp.asarray([0.0, 0.0, 1.5]),
+            R_prev=jnp.eye(3), t_prev=jnp.asarray([0.0, 0.0, 1.4]),
+            ok=jnp.asarray(True),
+        )
+        return m, t, ct, int(k)
+
+    def test_map_move_propagates_to_device_state(self):
+        m, t, ct, k = self._fixture()
+        ct._record_anchor()
+        # background solve moves the keyframe (pure translation in cam space)
+        m.kf_t[k] = np.array([0.3, 0.0, 1.0], np.float32)
+        ct._apply_anchor_correction()
+        np.testing.assert_allclose(
+            np.asarray(ct.state.t), [0.3, 0.0, 1.5], atol=1e-6
+        )
+        # prev pose corrected identically (constant-velocity preserved)
+        np.testing.assert_allclose(
+            np.asarray(ct.state.t_prev), [0.3, 0.0, 1.4], atol=1e-6
+        )
+
+    def test_culled_anchor_falls_back_to_covisible(self):
+        m, t, ct, k = self._fixture()
+        # second keyframe, covisible with the first
+        k2 = m.alloc_keyframe()
+        m.kf_R[k2] = np.eye(3)
+        m.kf_t[k2] = np.array([0.1, 0.0, 1.0], np.float32)
+        m.kf_frame_id[k2] = 1
+        mp = m.alloc_points(8)
+        m.mp_pos[mp] = np.random.default_rng(0).uniform(-1, 1, (8, 3))
+        m.kf_obs[k, :8] = mp
+        m.kf_obs[k2, :8] = mp
+        ct._record_anchor()
+        assert len(ct._anchor) >= 2, "covisible fallback not recorded"
+        # cull the primary anchor; move the surviving one
+        m.remove_keyframe(k)
+        m.kf_t[k2] = np.array([0.1, 0.2, 1.0], np.float32)
+        ct._apply_anchor_correction()
+        np.testing.assert_allclose(
+            np.asarray(ct.state.t), [0.0, 0.2, 1.5], atol=1e-6
+        )
+
+    def test_alignment_consume_invalidates_anchor(self):
+        """An init similarity fixes state AND map together; the stale
+        pre-alignment anchor must not be differenced against the new map
+        (double correction)."""
+        from orb_slam3_modified_tpu.tracking.imu_frontend import (
+            ImuConfig,
+            ImuFrontend,
+        )
+
+        m, t, ct, k = self._fixture()
+        imu = ImuFrontend(ImuConfig())
+        t.imu = imu
+        ct.imu = imu
+        ct._record_anchor()
+        assert ct._anchor is not None
+        imu.align_log.append((np.eye(3, dtype=np.float32), 2.0))
+        ct._consume_alignments()
+        assert ct._anchor is None, "anchor must reset on alignment consume"
