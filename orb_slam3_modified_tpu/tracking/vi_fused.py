@@ -248,18 +248,11 @@ def make_vi_step_body(
         ok = (n_inl >= 20) & ((dv_jump < 3.0) | use_rec | (n_inl >= 40))
 
         # accepted: solved state; rejected: IMU dead-reckoned state
-        import os as _os
-
-        _freeze = _os.environ.get("ORB_TPU_VI_FREEZE_BIAS", "0") == "1"
         R_new = jnp.where(ok, res.T_cw.R, T_pred.R)
         t_new = jnp.where(ok, res.T_cw.t, T_pred.t)
         v_new = jnp.where(ok, res.v_w, v_pred)
-        bg_new = state.bg if _freeze else jnp.where(
-            ok, state.bg + res.dbg, state.bg
-        )
-        ba_new = state.ba if _freeze else jnp.where(
-            ok, state.ba + res.dba, state.ba
-        )
+        bg_new = jnp.where(ok, state.bg + res.dbg, state.bg)
+        ba_new = jnp.where(ok, state.ba + res.dba, state.ba)
         # cap the carried information: the reference re-anchors the prior at
         # every keyframe (LastKeyFrame variant); the device chain only sees
         # keyframes at retire time, so an uncapped Schur carry compounds
